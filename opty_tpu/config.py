@@ -1,0 +1,42 @@
+"""Global configuration for opty_tpu.
+
+opty_tpu solves collocation NLPs to Ipopt-level tolerances (1e-8), which
+requires float64 arithmetic in the solver core.  JAX disables x64 by
+default, so importing :mod:`opty_tpu` enables it process-wide (the same
+contract as ``import opty`` pulling in Ipopt's double-precision solver;
+reference: opty uses C doubles throughout, opty/utils.py:483-529).
+
+On TPU hardware float64 is emulated: elementwise ops and matmuls work
+(slowly), but the dense linear-algebra lowerings (LU/QR) do not compile.
+The interior-point KKT factorization therefore always runs in
+``factor_dtype`` (float32 on TPU) and recovers float64 accuracy through
+iterative refinement in ``refine_dtype``.  On CPU both default to
+float64 and refinement is a no-op.
+"""
+
+import jax
+
+jax.config.update('jax_enable_x64', True)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def default_dtype():
+    """Residual/gradient working dtype (float64 when x64 is enabled)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def on_tpu():
+    try:
+        return jax.default_backend() not in ('cpu',)
+    except Exception:
+        return False
+
+
+def default_factor_dtype():
+    """dtype for dense/blocked LU factorizations inside the KKT solve.
+
+    TPU has no float64 LU lowering, so factorize in float32 there and
+    rely on iterative refinement (see nlp/kkt.py) for full accuracy.
+    """
+    return jnp.float32 if on_tpu() else default_dtype()
