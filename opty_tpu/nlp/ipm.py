@@ -2,47 +2,50 @@
 
 Replaces Ipopt + cyipopt in the reference stack
 (opty/direct_collocation.py:93 subclasses ``cyipopt.Problem``; the
-result-dict contract is documented at :290-311).  The algorithm is the
-standard monotone Fiacco-McCormick barrier method with a primal-dual
-Newton step, fraction-to-boundary rule, an l1-penalty merit line
-search, and Ipopt-style barrier/multiplier safeguards:
+result-dict contract is documented at :290-311).  The algorithm follows
+Ipopt's design (Waechter & Biegler, Math. Prog. 106, 2006):
 
-  * general NLP form  min f(x)  s.t.  cl <= c(x) <= cu, xl <= x <= xu,
-    equality rows expressed as cl == cu and fixed variables as
-    xl == xu (both handled by masking, no row/column elimination);
-  * slacks ``s`` on every constraint row; the condensed "augmented
-    system"  [[H + Sigma_x, J^T], [J, -Sigma_s^{-1}]]  is handed to a
-    pluggable ``kkt_solve`` callback — dense for generic NLPs, the
+  * monotone Fiacco-McCormick barrier with Ipopt's error-based mu
+    reduction and fraction-to-boundary rule;
+  * general NLP form  min f(x)  s.t.  cl <= c(x) <= cu, xl <= x <= xu;
+    equality rows are cl == cu, fixed variables xl == xu, both handled
+    by masking; slacks ``s`` on every constraint row;
+  * the condensed "augmented system"
+    [[H + Sigma_x, J^T], [J, -Sigma_s^{-1}]] is handed to a pluggable
+    ``kkt_solve`` callback — dense for generic NLPs, the
     block-tridiagonal-with-border solver (nlp/kkt.py) for collocation;
-  * inertia-free regularization: the primal regularization delta_w is
-    escalated when the merit line search fails and decayed on success
-    (replacing Ipopt's inertia-correction loop, which needs an LDL^T
-    inertia oracle that does not map well to batched TPU execution);
+  * inertia-free regularization: instead of Ipopt's LDL^T inertia
+    correction (no batched inertia oracle exists on TPU), the curvature
+    d^T (W + Sigma + delta_w I) d along the computed direction is
+    tested and delta_w escalated until positive;
+  * the two-dimensional (theta, phi) FILTER line search with f-type
+    switching, filter augmentation, and a feasibility-restoration mode
+    (projected Cauchy steps on ||c - s||^2) entered when the
+    backtracking search fails — the same globalization skeleton that
+    makes Ipopt robust on nonconvex trajectory optimization;
   * exact Hessians via JAX AD (the reference runs Ipopt in
-    limited-memory BFGS mode because opty provides no Hessian callback;
-    exact curvature is a large iteration-count win).
+    limited-memory BFGS mode since opty provides no Hessian callback).
 
-Everything is a pure function of arrays, so ``jax.vmap`` turns one
-solver into thousands of concurrent solves per chip and ``jax.jit``
-over a sharded batch scales across a TPU mesh.  Convergence flags ride
-in the carried state; vmapped instances run in lockstep until all
-converge (the batch analog of per-instance early exit).
+Everything is a pure function of arrays: ``jax.vmap`` turns one solver
+into thousands of concurrent solves per chip, and ``jax.jit`` over a
+sharded batch scales across a TPU mesh.  Convergence flags ride in the
+carried state; vmapped instances run in lockstep until all converge.
 """
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from .status import (INVALID_NUMBER_DETECTED, MAXIMUM_ITERATIONS_EXCEEDED,
-                     RESTORATION_FAILED, SOLVE_SUCCEEDED,
-                     SOLVED_TO_ACCEPTABLE_LEVEL)
+from .status import (INFEASIBLE_PROBLEM_DETECTED, INVALID_NUMBER_DETECTED,
+                     MAXIMUM_ITERATIONS_EXCEEDED, RESTORATION_FAILED,
+                     SOLVE_SUCCEEDED, SOLVED_TO_ACCEPTABLE_LEVEL)
 
 __all__ = ['IPMOptions', 'IPMFunctions', 'IPMResult', 'solve_ipm',
            'make_nlp_functions_dense']
 
 _BIG_SIGMA = 1e40
+_FILTER_SIZE = 64
 
 
 class IPMOptions(NamedTuple):
@@ -59,12 +62,25 @@ class IPMOptions(NamedTuple):
     bound_push: float = 0.01       # kappa_1
     bound_frac: float = 0.01       # kappa_2
     slack_push: float = 0.01
-    armijo_eta: float = 1e-4
-    max_ls: int = 25
+    # filter line search (Waechter-Biegler defaults)
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-5
+    s_theta: float = 1.1
+    s_phi: float = 2.3
+    delta_switch: float = 1.0
+    eta_phi: float = 1e-8
+    gamma_alpha: float = 0.05
+    max_ls: int = 20
+    # regularization
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e12
     delta_c_init: float = 1e-10
+    kappa_curv: float = 1e-11
+    # restoration
+    rest_reduction: float = 0.1    # exit when theta <= this * entry theta
+    max_rest_iters: int = 80       # cumulative restoration iterations
     s_max: float = 100.0
+    debug: bool = False  # python-loop execution with per-iter printout
 
 
 class IPMFunctions(NamedTuple):
@@ -76,7 +92,7 @@ class IPMFunctions(NamedTuple):
         [[H(x, y) + diag(sigma_x), J(x)^T], [J(x), -diag(ds)]]
             [dx; dy] = [rx; rc]
 
-    where H is (an approximation of) the Lagrangian Hessian.
+    where H is the Lagrangian Hessian.
     """
     objective: Callable[[Any], Any]
     gradient: Callable[[Any], Any]
@@ -110,15 +126,20 @@ class _State(NamedTuple):
     mu: jnp.ndarray
     delta_w: jnp.ndarray
     delta_c: jnp.ndarray
-    nu: jnp.ndarray
+    f_theta: jnp.ndarray      # filter entries (theta), +inf = empty
+    f_phi: jnp.ndarray        # filter entries (phi)
+    f_count: jnp.ndarray
+    in_rest: jnp.ndarray      # restoration mode flag
+    rest_theta: jnp.ndarray   # theta at restoration entry
+    rest_total: jnp.ndarray   # cumulative restoration iterations
     it: jnp.ndarray
     status: jnp.ndarray
     done: jnp.ndarray
-    ls_fails: jnp.ndarray
     accept_count: jnp.ndarray
     obj_history: jnp.ndarray
     inf_pr: jnp.ndarray
     inf_du: jnp.ndarray
+    alpha_last: jnp.ndarray
 
 
 def _masked_inv(dist, mask):
@@ -160,6 +181,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     cu = jnp.asarray(cu, dtype)
     n = x0.shape[0]
     m = cl.shape[0]
+    eps_mach = jnp.finfo(dtype).eps
 
     inf_cut = 1e18
     has_xl = xl > -inf_cut
@@ -190,7 +212,20 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     wL_init = jnp.where(msL, one, 0.0)
     wU_init = jnp.where(msU, one, 0.0)
 
-    def barrier_phi(x, s, mu, nu):
+    theta_init = jnp.sum(jnp.abs(c0 - s_init))
+    theta_max = 1e4 * jnp.maximum(1.0, theta_init)
+    theta_min = 1e-4 * jnp.maximum(1.0, theta_init)
+
+    def fresh_filter():
+        """Empty filter containing only the (theta_max, -inf) cap."""
+        f_theta = jnp.full((_FILTER_SIZE,), jnp.inf, dtype)
+        f_phi = jnp.full((_FILTER_SIZE,), jnp.inf, dtype)
+        f_theta = f_theta.at[0].set(theta_max)
+        f_phi = f_phi.at[0].set(-jnp.inf)
+        return f_theta, f_phi, jnp.asarray(1, jnp.int32)
+
+    def barrier_phi(x, s, mu):
+        """Barrier objective phi and constraint violation theta."""
         dLx = jnp.where(mL, x - xl, 1.0)
         dUx = jnp.where(mU, xu - x, 1.0)
         dLs = jnp.where(msL, s - cl, 1.0)
@@ -200,7 +235,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         safe_log = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-300)))
         bar = safe_log(dLx) + safe_log(dUx) + safe_log(dLs) + safe_log(dUs)
         theta = jnp.sum(jnp.abs(fns.constraints(x) - s))
-        phi = fns.objective(x) - mu * bar + nu * theta
+        phi = fns.objective(x) - mu * bar
         return jnp.where(ok, phi, jnp.inf), theta
 
     def optimality_error_from(g, c, Jty, x, s, y, zL, zU, wL, wU, mu):
@@ -237,6 +272,50 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         Jty = vjp(y)[0]
         return g, c, Jty
 
+    def restoration_step(x, s):
+        """One projected Cauchy (steepest-descent) step on
+        R = 0.5 ||c(x) - s||^2 with backtracking.  Returns the new
+        point and whether R was reduced."""
+        c_r, vjp_r = jax.vjp(fns.constraints, x)
+        r = c_r - s
+        R0 = 0.5 * jnp.dot(r, r)
+        gx = jnp.where(fixed, 0.0, vjp_r(r)[0])
+        gs = jnp.where(eq, 0.0, -r)
+        gnorm2 = jnp.dot(gx, gx) + jnp.dot(gs, gs)
+        # Cauchy step for the linearized model
+        Jgx = jax.jvp(fns.constraints, (x,), (gx,))[1]
+        rho_dir = Jgx - gs
+        denom = jnp.dot(rho_dir, rho_dir)
+        alpha0 = jnp.where(denom > 1e-300, gnorm2 / denom, 1.0)
+
+        def project(xt, st_):
+            xt = jnp.where(fixed, xl, _push_inside(
+                xt, xl, xu, has_xl, has_xu, 1e-9, 1e-9))
+            st_ = jnp.where(eq, cl, _push_inside(
+                st_, cl, cu, has_sl, has_su, 1e-9, 1e-9))
+            return xt, st_
+
+        def bt_cond(carry):
+            a, j, ok = carry
+            return (~ok) & (j < 12)
+
+        def bt_body(carry):
+            a, j, _ = carry
+            xt, st_ = project(x - a * gx, s - a * gs)
+            rt = fns.constraints(xt) - st_
+            Rt = 0.5 * jnp.dot(rt, rt)
+            ok = Rt < R0 * (1.0 - 1e-8)
+            a = jnp.where(ok, a, a * 0.5)
+            return a, j + 1, ok
+
+        a, _, reduced = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (alpha0, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+        x_n, s_n = project(x - a * gx, s - a * gs)
+        x_n = jnp.where(reduced, x_n, x)
+        s_n = jnp.where(reduced, s_n, s)
+        return x_n, s_n, reduced
+
     # ---- main loop ------------------------------------------------------
     def cond(st: _State):
         return (~st.done) & (st.it < opt.max_iter)
@@ -249,7 +328,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
 
         # -- barrier parameter update (possibly several reductions) ------
         def mu_red(carry, _):
-            mu, tau = carry
+            mu, tau, shrunk = carry
             E_mu, _, _ = optimality_error_from(
                 g, c, Jty, x, s, y, zL, zU, wL, wU, mu)
             shrink = (E_mu <= opt.kappa_eps * mu) & (mu > opt.tol / 11.0)
@@ -258,10 +337,17 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                                              mu ** opt.theta_mu))
             mu = jnp.where(shrink, new_mu, mu)
             tau = jnp.maximum(opt.tau_min, 1.0 - mu)
-            return (mu, tau), None
+            return (mu, tau, shrunk | shrink), None
 
-        (mu, tau), _ = jax.lax.scan(mu_red, (st.mu, jnp.asarray(0.0, dtype)),
-                                    None, length=4)
+        (mu, tau, mu_shrunk), _ = jax.lax.scan(
+            mu_red, (st.mu, jnp.asarray(0.0, dtype), jnp.asarray(False)),
+            None, length=4)
+
+        # filter reset on barrier reduction (Waechter-Biegler)
+        ft0, fp0, fc0 = fresh_filter()
+        f_theta = jnp.where(mu_shrunk, ft0, st.f_theta)
+        f_phi = jnp.where(mu_shrunk, fp0, st.f_phi)
+        f_count = jnp.where(mu_shrunk, fc0, st.f_count)
 
         dLx = jnp.where(mL, x - xl, 1.0)
         dUx = jnp.where(mU, xu - x, 1.0)
@@ -291,17 +377,55 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         rhs_s = jnp.where(eq, 0.0, rhs_s)
         rc = -(c - s) + Ds * rhs_s
 
-        dx, dy = fns.kkt_solve(x, y, sigma_x + st.delta_w,
-                               Ds + st.delta_c, rx, rc)
-        # A non-finite direction means the (possibly unregularized) KKT
-        # matrix was singular: zero the step, mark the iteration as a
-        # line-search failure so the delta escalation kicks in, retry.
-        dir_bad = ~(jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(dy)))
+        # -- search direction with inertia-free curvature correction -----
+        def lag_grad(xx):
+            _, vj = jax.vjp(fns.constraints, xx)
+            return fns.gradient(xx) + vj(y)[0]
+
+        def compute_dir(delta_w, delta_c):
+            dxx, dyy = fns.kkt_solve(x, y, sigma_x + delta_w,
+                                     Ds + delta_c, rx, rc)
+            dxx = jnp.where(fixed, 0.0, dxx)
+            dss = Ds * (dyy + rhs_s)
+            dss = jnp.where(eq, 0.0, dss)
+            return dxx, dyy, dss
+
+        def dir_quality(dxx, dyy, dss, delta_w):
+            finite = (jnp.all(jnp.isfinite(dxx))
+                      & jnp.all(jnp.isfinite(dyy)))
+            Wdx = jax.jvp(lag_grad, (x,), (dxx,))[1]
+            curv = (jnp.dot(dxx, Wdx) + jnp.dot(sigma_x * dxx, dxx)
+                    + delta_w * jnp.dot(dxx, dxx)
+                    + jnp.dot(sigma_s * dss, dss))
+            nrm = jnp.dot(dxx, dxx) + jnp.dot(dss, dss)
+            return finite & (curv >= opt.kappa_curv * nrm), finite
+
+        def dir_cond(carry):
+            _, _, _, _, _, tries, ok = carry
+            return (~ok) & (tries < 14)
+
+        def dir_body(carry):
+            dxx, dyy, dss, dw, dc, tries, _ = carry
+            dw_new = jnp.where(
+                tries == 0,
+                jnp.maximum(opt.delta_w_init * 1e4, st.delta_w * 0.33),
+                jnp.minimum(dw * 8.0, opt.delta_w_max))
+            dxx, dyy, dss = compute_dir(dw_new, dc)
+            ok, finite = dir_quality(dxx, dyy, dss, dw_new)
+            dc_new = jnp.where(finite, dc,
+                               jnp.maximum(dc * 100.0, opt.delta_c_init))
+            return dxx, dyy, dss, dw_new, dc_new, tries + 1, ok
+
+        dx, dy, ds = compute_dir(jnp.asarray(0.0, dtype), st.delta_c)
+        ok0, _ = dir_quality(dx, dy, ds, jnp.asarray(0.0, dtype))
+        dx, dy, ds, delta_w_used, delta_c, _, dir_ok = jax.lax.while_loop(
+            dir_cond, dir_body,
+            (dx, dy, ds, jnp.asarray(0.0, dtype), st.delta_c,
+             jnp.asarray(0, jnp.int32), ok0))
+        dir_bad = ~dir_ok
         dx = jnp.where(dir_bad, 0.0, dx)
         dy = jnp.where(dir_bad, 0.0, dy)
-        dx = jnp.where(fixed, 0.0, dx)
-        ds = Ds * (dy + rhs_s)
-        ds = jnp.where(eq, 0.0, ds)
+        ds = jnp.where(dir_bad, 0.0, ds)
 
         dzL = jnp.where(mL, mu * iLx - zL - SigL * dx, 0.0)
         dzU = jnp.where(mU, mu * iUx - zU + SigU * dx, 0.0)
@@ -309,7 +433,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         dwU = jnp.where(msU, mu * iUs - wU + SigsU * ds, 0.0)
 
         # -- fraction to boundary ----------------------------------------
-        a_pr = jnp.minimum(
+        a_pr_max = jnp.minimum(
             jnp.minimum(_ftb_alpha(dLx, dx, mL, tau),
                         _ftb_alpha(dUx, -dx, mU, tau)),
             jnp.minimum(_ftb_alpha(dLs, ds, msL, tau),
@@ -320,102 +444,271 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             jnp.minimum(_ftb_alpha(wL, dwL, msL, tau),
                         _ftb_alpha(wU, dwU, msU, tau)))
 
-        # -- l1 merit line search ----------------------------------------
-        nu = jnp.maximum(10.0, 2.0 * jnp.max(jnp.abs(y + dy)))
-        phi0, theta0 = barrier_phi(x, s, mu, nu)
+        # -- filter line search (Waechter-Biegler) -----------------------
+        phi0, theta0 = barrier_phi(x, s, mu)
         gphi_x = g - mu * iLx + mu * iUx
         gphi_s = -mu * iLs + mu * iUs
-        Dphi = (jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds) - nu * theta0)
+        Dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
 
-        # Ipopt's "tiny search direction" exit: when the primal step is
-        # at machine precision, the merit comparison is pure roundoff —
-        # accept the full (fraction-to-boundary) step so dual-only steps
-        # can proceed.
-        eps_mach = jnp.finfo(dtype).eps
+        # minimal step size before declaring line-search failure
+        neg = Dphi < 0
+        amin_sw = jnp.minimum(
+            opt.gamma_theta,
+            jnp.minimum(
+                opt.gamma_phi * theta0 / jnp.maximum(-Dphi, 1e-300),
+                opt.delta_switch * theta0 ** opt.s_theta
+                / jnp.maximum((-Dphi) ** opt.s_phi, 1e-300)))
+        amin_ne = jnp.minimum(opt.gamma_theta,
+                              opt.gamma_phi * theta0
+                              / jnp.maximum(-Dphi, 1e-300))
+        alpha_min = opt.gamma_alpha * jnp.where(
+            neg & (theta0 <= theta_min), amin_sw,
+            jnp.where(neg, amin_ne, opt.gamma_theta))
+
         step_small = jnp.max(jnp.abs(jnp.concatenate([dx, ds]))
                              / (1.0 + jnp.abs(jnp.concatenate([x, s])))
                              ) < 10.0 * eps_mach
 
+        fslots = jnp.arange(_FILTER_SIZE)
+
+        def filter_ok_fn(theta_t, phi_t):
+            valid = fslots < f_count
+            ok_each = (theta_t < f_theta) | (phi_t < f_phi)
+            return jnp.all(ok_each | ~valid)
+
+        def try_alpha(alpha):
+            phi_t, theta_t = barrier_phi(x + alpha * dx, s + alpha * ds, mu)
+            f_ok = filter_ok_fn(theta_t, phi_t)
+            sw = neg & (alpha * (-Dphi) ** opt.s_phi
+                        > opt.delta_switch * theta0 ** opt.s_theta)
+            armijo = phi_t <= phi0 + opt.eta_phi * alpha * Dphi \
+                + 10.0 * eps_mach * jnp.abs(phi0)
+            curr_ok = ((theta_t <= (1.0 - opt.gamma_theta) * theta0)
+                       | (phi_t <= phi0 - opt.gamma_phi * theta0))
+            ftype = (theta0 <= theta_min) & sw
+            acc = f_ok & jnp.where(ftype, armijo, curr_ok)
+            return acc, ftype & armijo
+
+        # first trial at the full fraction-to-boundary step
+        acc1, ftype1 = try_alpha(a_pr_max)
+        acc1 = (acc1 | step_small) & ~dir_bad
+        phi_t1, theta_t1 = barrier_phi(x + a_pr_max * dx,
+                                       s + a_pr_max * ds, mu)
+
+        # -- second-order correction (Ipopt A-5.7) -----------------------
+        # If the full step was rejected with increased infeasibility,
+        # re-solve the KKT system with the constraint rhs replaced by
+        # the second-order residual  alpha*(c-s) + r(trial); this cancels
+        # the constraint curvature that caused the overshoot.
+        def soc_branch(_):
+            r_trial = (fns.constraints(x + a_pr_max * dx)
+                       - (s + a_pr_max * ds))
+            c_soc = a_pr_max * (c - s) + r_trial
+            rc_soc = -c_soc + Ds * rhs_s
+            dxx, dyy = fns.kkt_solve(x, y, sigma_x + delta_w_used,
+                                     Ds + delta_c, rx, rc_soc)
+            dxx = jnp.where(fixed, 0.0, dxx)
+            dss = Ds * (dyy + rhs_s)
+            dss = jnp.where(eq, 0.0, dss)
+            fin = jnp.all(jnp.isfinite(dxx)) & jnp.all(jnp.isfinite(dyy))
+            dxx = jnp.where(fin, dxx, 0.0)
+            dyy = jnp.where(fin, dyy, 0.0)
+            dss = jnp.where(fin, dss, 0.0)
+            return dxx, dyy, dss, fin
+
+        def no_soc(_):
+            zeros = jnp.zeros_like(dx)
+            return zeros, jnp.zeros_like(dy), jnp.zeros_like(ds), \
+                jnp.asarray(False)
+
+        want_soc = (~acc1) & (theta_t1 >= theta0) & ~dir_bad
+        dx_soc, dy_soc, ds_soc, soc_fin = jax.lax.cond(
+            want_soc, soc_branch, no_soc, operand=None)
+
+        def try_dir(alpha, dxx, dss):
+            """Filter acceptance test for an arbitrary direction."""
+            phi_t, theta_t = barrier_phi(x + alpha * dxx,
+                                         s + alpha * dss, mu)
+            f_ok = filter_ok_fn(theta_t, phi_t)
+            Dphi_d = jnp.dot(gphi_x, dxx) + jnp.dot(gphi_s, dss)
+            sw = (Dphi_d < 0) & (alpha * (-Dphi_d) ** opt.s_phi
+                                 > opt.delta_switch
+                                 * theta0 ** opt.s_theta)
+            armijo = phi_t <= phi0 + opt.eta_phi * alpha * Dphi_d \
+                + 10.0 * eps_mach * jnp.abs(phi0)
+            curr_ok = ((theta_t <= (1.0 - opt.gamma_theta) * theta0)
+                       | (phi_t <= phi0 - opt.gamma_phi * theta0))
+            ftype = (theta0 <= theta_min) & sw
+            return f_ok & jnp.where(ftype, armijo, curr_ok), ftype & armijo
+
+        a_soc = jnp.minimum(
+            jnp.minimum(_ftb_alpha(dLx, dx_soc, mL, tau),
+                        _ftb_alpha(dUx, -dx_soc, mU, tau)),
+            jnp.minimum(_ftb_alpha(dLs, ds_soc, msL, tau),
+                        _ftb_alpha(dUs, -ds_soc, msU, tau)))
+        acc_soc, ftype_soc = try_dir(a_soc, dx_soc, ds_soc)
+        acc_soc = acc_soc & soc_fin & want_soc
+
+        # fallback: backtracking on the original direction from a/2
         def ls_cond(carry):
-            alpha, j, accepted = carry
-            return (~accepted) & (j < opt.max_ls)
+            alpha, j, accepted, _ = carry
+            return (~accepted) & (j < opt.max_ls) & (alpha >= alpha_min)
 
         def ls_body(carry):
-            alpha, j, _ = carry
-            phi_a, _ = barrier_phi(x + alpha * dx, s + alpha * ds, mu, nu)
-            ok = (phi_a <= phi0 + opt.armijo_eta * alpha * Dphi
-                  + 10.0 * eps_mach * jnp.abs(phi0)) | step_small
-            alpha = jnp.where(ok, alpha, alpha * 0.5)
-            return alpha, j + 1, ok
+            alpha, j, _, _ = carry
+            acc, is_ftype = try_alpha(alpha)
+            acc = acc | step_small
+            alpha_new = jnp.where(acc, alpha, alpha * 0.5)
+            return alpha_new, j + 1, acc, is_ftype
 
-        alpha, _, accepted = jax.lax.while_loop(
-            ls_cond, ls_body, (a_pr, jnp.asarray(0, jnp.int32),
-                               jnp.asarray(False)))
-        accepted = accepted & ~dir_bad
-        alpha = jnp.where(dir_bad, 0.0, alpha)
+        alpha_bt, _, acc_bt, ftype_bt = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (a_pr_max * 0.5, jnp.asarray(1, jnp.int32),
+             jnp.asarray(False), jnp.asarray(False)))
+        acc_bt = acc_bt & ~dir_bad
 
-        # On failure take the tiny step anyway but escalate the
-        # regularizations for the next direction (the inertia-free
-        # analog of Ipopt's inertia-correction loop).
-        delta_w = jnp.where(
-            accepted,
-            jnp.maximum(st.delta_w * 0.33, 0.0)
-            * (st.delta_w > opt.delta_w_init),
-            jnp.clip(jnp.maximum(st.delta_w * 10.0, 10 * opt.delta_w_init),
-                     0.0, opt.delta_w_max))
-        delta_c_dec = st.delta_c * 0.1
-        delta_c = jnp.where(
-            accepted,
-            jnp.where(delta_c_dec < 1e-300, 0.0, delta_c_dec),
-            jnp.clip(jnp.maximum(st.delta_c * 10.0, opt.delta_c_init),
-                     0.0, 1.0))
-        ls_fails = jnp.where(accepted, 0, st.ls_fails + 1)
+        # combine: full step > SOC step > backtracked step
+        use_soc = (~acc1) & acc_soc
+        use_bt = (~acc1) & (~use_soc) & acc_bt
+        if opt.debug:
+            ph_soc, th_soc = barrier_phi(x + a_soc * dx_soc,
+                                         s + a_soc * ds_soc, mu)
+            print('   ls: acc1={} th0={:.3e} th_t1={:.3e} ph0={:.6e} '
+                  'soc(want={} acc={} a={:.2e} th={:.3e} ph={:.5e}) '
+                  'a_bt={:.2e} accbt={} |dx|={:.2e}'.format(
+                      bool(acc1), float(theta0), float(theta_t1),
+                      float(phi0), bool(want_soc), bool(acc_soc),
+                      float(a_soc), float(th_soc), float(ph_soc),
+                      float(alpha_bt), bool(acc_bt),
+                      float(jnp.max(jnp.abs(dx)))))
+        accepted = acc1 | use_soc | use_bt
+        alpha = jnp.where(acc1, a_pr_max,
+                          jnp.where(use_soc, a_soc,
+                                    jnp.where(use_bt, alpha_bt, 0.0)))
+        dx = jnp.where(use_soc, dx_soc, dx)
+        dy = jnp.where(use_soc, dy_soc, dy)
+        ds = jnp.where(use_soc, ds_soc, ds)
+        was_ftype = jnp.where(acc1, ftype1,
+                              jnp.where(use_soc, ftype_soc, ftype_bt))
+        # dual directions for the (possibly SOC-replaced) primal step
+        dzL = jnp.where(mL, mu * iLx - zL - SigL * dx, 0.0)
+        dzU = jnp.where(mU, mu * iUx - zU + SigU * dx, 0.0)
+        dwL = jnp.where(msL, mu * iLs - wL - SigsL * ds, 0.0)
+        dwU = jnp.where(msU, mu * iUs - wU + SigsU * ds, 0.0)
+        a_du = jnp.minimum(
+            jnp.minimum(_ftb_alpha(zL, dzL, mL, tau),
+                        _ftb_alpha(zU, dzU, mU, tau)),
+            jnp.minimum(_ftb_alpha(wL, dwL, msL, tau),
+                        _ftb_alpha(wU, dwU, msU, tau)))
 
-        x_n = x + alpha * dx
-        s_n = s + alpha * ds
-        y_n = y + alpha * dy
-        zL_n = zL + a_du * dzL
-        zU_n = zU + a_du * dzU
-        wL_n = wL + a_du * dwL
-        wU_n = wU + a_du * dwU
+        # filter augmentation for accepted non-f-type steps
+        augment = accepted & ~was_ftype & ~step_small
+        slot = jnp.minimum(f_count, _FILTER_SIZE - 1)
+        f_theta_aug = f_theta.at[slot].set(
+            (1.0 - opt.gamma_theta) * theta0)
+        f_phi_aug = f_phi.at[slot].set(phi0 - opt.gamma_phi * theta0)
+        f_theta = jnp.where(augment, f_theta_aug, f_theta)
+        f_phi = jnp.where(augment, f_phi_aug, f_phi)
+        f_count = jnp.where(augment,
+                            jnp.minimum(f_count + 1, _FILTER_SIZE - 1),
+                            f_count)
+
+        # -- regular (accepted) update -----------------------------------
+        x_acc = x + alpha * dx
+        s_acc = s + alpha * ds
+        y_acc = y + alpha * dy
+        zL_acc = zL + a_du * dzL
+        zU_acc = zU + a_du * dzU
+        wL_acc = wL + a_du * dwL
+        wU_acc = wU + a_du * dwU
+
+        # -- restoration mode ---------------------------------------------
+        # Entered when the filter search fails; performs projected
+        # Cauchy steps on ||c - s||^2 until theta is sufficiently
+        # reduced, then restarts the filter and multipliers.
+        enter_rest = (~accepted) & (~st.in_rest)
+        in_rest = st.in_rest | enter_rest
+        rest_theta = jnp.where(enter_rest, theta0, st.rest_theta)
+
+        x_r, s_r, rest_reduced = restoration_step(x, s)
+        theta_r = jnp.sum(jnp.abs(fns.constraints(x_r) - s_r))
+        rest_exit = in_rest & (
+            (theta_r <= jnp.maximum(opt.rest_reduction * rest_theta,
+                                    theta_min))
+            | (theta_r <= opt.tol))
+        rest_failed = in_rest & ~rest_reduced & ~rest_exit
+
+        use_rest = in_rest
+        x_n = jnp.where(use_rest, x_r, x_acc)
+        s_n = jnp.where(use_rest, s_r, s_acc)
+        # restoration resets equality multipliers; bound multipliers are
+        # recentered from mu on exit
+        y_n = jnp.where(use_rest, jnp.where(rest_exit, 0.0, y), y_acc)
+        in_rest = in_rest & ~rest_exit
+        rest_total = st.rest_total + jnp.asarray(use_rest, jnp.int32)
+
+        dLx_e = jnp.where(mL, x_n - xl, 1.0)
+        dUx_e = jnp.where(mU, xu - x_n, 1.0)
+        dLs_e = jnp.where(msL, s_n - cl, 1.0)
+        dUs_e = jnp.where(msU, cu - s_n, 1.0)
+        recenter = use_rest & rest_exit
+        zL_n = jnp.where(recenter, jnp.where(mL, mu / dLx_e, 0.0),
+                         jnp.where(use_rest, zL, zL_acc))
+        zU_n = jnp.where(recenter, jnp.where(mU, mu / dUx_e, 0.0),
+                         jnp.where(use_rest, zU, zU_acc))
+        wL_n = jnp.where(recenter, jnp.where(msL, mu / dLs_e, 0.0),
+                         jnp.where(use_rest, wL, wL_acc))
+        wU_n = jnp.where(recenter, jnp.where(msU, mu / dUs_e, 0.0),
+                         jnp.where(use_rest, wU, wU_acc))
+
+        # reset filter when leaving restoration
+        ftf, fpf, fcf = fresh_filter()
+        f_theta = jnp.where(recenter, ftf, f_theta)
+        f_phi = jnp.where(recenter, fpf, f_phi)
+        f_count = jnp.where(recenter, fcf, f_count)
 
         # -- Ipopt kappa_sigma multiplier safeguard ----------------------
-        dLx_n = jnp.where(mL, x_n - xl, 1.0)
-        dUx_n = jnp.where(mU, xu - x_n, 1.0)
-        dLs_n = jnp.where(msL, s_n - cl, 1.0)
-        dUs_n = jnp.where(msU, cu - s_n, 1.0)
         kS = opt.kappa_sigma
         clipz = lambda z, d, mk: jnp.where(
             mk, jnp.clip(z, mu / (kS * jnp.maximum(d, 1e-300)),
                          kS * mu / jnp.maximum(d, 1e-300)), 0.0)
-        zL_n = clipz(zL_n, dLx_n, mL)
-        zU_n = clipz(zU_n, dUx_n, mU)
-        wL_n = clipz(wL_n, dLs_n, msL)
-        wU_n = clipz(wU_n, dUs_n, msU)
+        zL_n = clipz(zL_n, dLx_e, mL)
+        zU_n = clipz(zU_n, dUx_e, mU)
+        wL_n = clipz(wL_n, dLs_e, msL)
+        wU_n = clipz(wU_n, dUs_e, msU)
+
+        # delta_w warm start for the next iteration's trial sequence
+        delta_w = delta_w_used
 
         # -- convergence tests -------------------------------------------
         g_n, c_n, Jty_n = eval_point(x_n, y_n)
         E0, inf_pr, inf_du = optimality_error_from(
             g_n, c_n, Jty_n, x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n,
             jnp.asarray(0.0, dtype))
-        converged = E0 <= opt.tol
-        acceptable = E0 <= opt.acceptable_tol
+        converged = (E0 <= opt.tol) & ~in_rest
+        acceptable = (E0 <= opt.acceptable_tol) & ~in_rest
         accept_count = jnp.where(acceptable, st.accept_count + 1, 0)
         acc_done = accept_count >= opt.acceptable_iter
 
         bad = ~(jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(y_n))
                 & jnp.all(jnp.isfinite(s_n)))
-        stuck = ls_fails >= 10
+        # restoration exhausted: either the Cauchy step cannot reduce
+        # theta further (local infeasibility) or too many restoration
+        # iterations total
+        infeasible = rest_failed & (theta_r > theta_min)
+        rest_exhausted = rest_total >= opt.max_rest_iters
 
         status = jnp.where(
             converged, SOLVE_SUCCEEDED,
             jnp.where(acc_done, SOLVED_TO_ACCEPTABLE_LEVEL,
                       jnp.where(bad, INVALID_NUMBER_DETECTED,
-                                jnp.where(stuck, RESTORATION_FAILED,
-                                          st.status))))
-        done = converged | acc_done | bad | stuck
+                                jnp.where(infeasible,
+                                          INFEASIBLE_PROBLEM_DETECTED,
+                                          jnp.where(rest_exhausted,
+                                                    RESTORATION_FAILED,
+                                                    st.status)))))
+        done = converged | acc_done | bad | infeasible | rest_exhausted
 
-        # On a NaN blowup keep the previous iterate.
         keep_old = bad
         sel = lambda new, old: jnp.where(keep_old, old, new)
 
@@ -425,28 +718,50 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             x=sel(x_n, x), s=sel(s_n, s), y=sel(y_n, y),
             zL=sel(zL_n, zL), zU=sel(zU_n, zU),
             wL=sel(wL_n, wL), wU=sel(wU_n, wU),
-            mu=mu, delta_w=delta_w, delta_c=delta_c, nu=nu,
+            mu=mu, delta_w=delta_w, delta_c=delta_c,
+            f_theta=f_theta, f_phi=f_phi, f_count=f_count,
+            in_rest=in_rest, rest_theta=rest_theta, rest_total=rest_total,
             it=st.it + 1, status=status, done=done,
-            ls_fails=ls_fails, accept_count=accept_count,
-            obj_history=obj_history, inf_pr=inf_pr, inf_du=inf_du)
+            accept_count=accept_count,
+            obj_history=obj_history, inf_pr=inf_pr, inf_du=inf_du,
+            alpha_last=alpha)
 
+    ft_i, fp_i, fc_i = fresh_filter()
     st0 = _State(
         x=x_init, s=s_init, y=y_init, zL=zL_init, zU=zU_init,
         wL=wL_init, wU=wU_init,
         mu=jnp.asarray(opt.mu_init, dtype),
         delta_w=jnp.asarray(0.0, dtype),
         delta_c=jnp.asarray(0.0, dtype),
-        nu=jnp.asarray(10.0, dtype),
+        f_theta=ft_i, f_phi=fp_i, f_count=fc_i,
+        in_rest=jnp.asarray(False),
+        rest_theta=jnp.asarray(0.0, dtype),
+        rest_total=jnp.asarray(0, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(MAXIMUM_ITERATIONS_EXCEEDED, jnp.int32),
         done=jnp.asarray(False),
-        ls_fails=jnp.asarray(0, jnp.int32),
         accept_count=jnp.asarray(0, jnp.int32),
         obj_history=jnp.full((opt.max_iter,), jnp.nan, dtype),
         inf_pr=jnp.asarray(jnp.inf, dtype),
-        inf_du=jnp.asarray(jnp.inf, dtype))
+        inf_du=jnp.asarray(jnp.inf, dtype),
+        alpha_last=jnp.asarray(0.0, dtype))
 
-    st = jax.lax.while_loop(cond, body, st0)
+    if opt.debug:
+        st = st0
+        while bool(cond(st)):
+            st = body(st)
+            print('it={:4d} mu={:9.2e} inf_pr={:9.2e} inf_du={:9.2e} '
+                  'dw={:8.1e} dc={:8.1e} rest={:d}/{:3d} alpha={:8.1e} '
+                  'nf={:2d} |y|={:9.2e} obj={:12.5e}'.format(
+                      int(st.it), float(st.mu), float(st.inf_pr),
+                      float(st.inf_du), float(st.delta_w),
+                      float(st.delta_c), int(st.in_rest),
+                      int(st.rest_total), float(st.alpha_last),
+                      int(st.f_count),
+                      float(jnp.max(jnp.abs(st.y))),
+                      float(st.obj_history[st.it - 1])))
+    else:
+        st = jax.lax.while_loop(cond, body, st0)
 
     return IPMResult(
         x=st.x, obj_val=fns.objective(st.x), g=fns.constraints(st.x),
