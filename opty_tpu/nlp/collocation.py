@@ -13,6 +13,14 @@ Both are exact for the problem class the reference supports, giving
 quadratic local convergence where the reference's Ipopt-with-L-BFGS
 setup (no Hessian callback, opty/direct_collocation.py C22) is
 superlinear at best.
+
+Gradient-based NLP scaling (the analog of Ipopt's default
+``nlp_scaling_method=gradient-based`` with ``scaling_max_gradient``
+100) is essential for collocation problems: the discretized dynamics
+rows carry 1/h factors that otherwise distort the barrier, the filter
+and the multiplier magnitudes.  Scaling factors are computed from the
+Jacobian at the initial point inside the jitted solve, so one compiled
+solver serves any initial guess.
 """
 
 import jax
@@ -23,11 +31,41 @@ from ..transcribe.hessian import make_structured_scalar_hessian
 from .ipm import IPMFunctions
 from .kkt import KKTBlocks, solve_structured_kkt
 
-__all__ = ['make_collocation_nlp_functions']
+__all__ = ['make_collocation_nlp_functions', 'compute_scaling']
+
+_MAX_GRADIENT = 100.0
+
+
+def compute_scaling(col, gradient, x0):
+    """Ipopt-style gradient-based scaling factors at ``x0``.
+
+    Returns (sf, dsc_nodes (N-1, M), dsc_inst (o,), dsc_full (m,)).
+    Each constraint row j gets  min(1, gmax / ||grad c_j(x0)||_inf);
+    the objective gets  min(1, gmax / ||grad f(x0)||_inf).
+    """
+    A0, B0, C0, G0 = col.jacobian_blocks(x0)
+    row_norm = jnp.max(jnp.abs(jnp.concatenate([A0, B0, C0], axis=2)),
+                       axis=2)                                # (N-1, M)
+    dsc_nodes = jnp.where(row_norm > 1e-12,
+                          jnp.minimum(1.0, _MAX_GRADIENT / row_norm), 1.0)
+    o = col.num_instance_constraints
+    if o:
+        gnorm = jnp.max(jnp.abs(G0), axis=1)
+        dsc_inst = jnp.where(gnorm > 1e-12,
+                             jnp.minimum(1.0, _MAX_GRADIENT / gnorm), 1.0)
+    else:
+        dsc_inst = jnp.zeros((0,), x0.dtype)
+    g0 = gradient(x0)
+    gmax = jnp.max(jnp.abs(g0))
+    sf = jnp.where(gmax > 1e-12,
+                   jnp.minimum(1.0, _MAX_GRADIENT / gmax), 1.0)
+    dsc_full = jnp.concatenate([dsc_nodes.T.reshape(-1), dsc_inst])
+    return sf, dsc_nodes, dsc_inst, dsc_full
 
 
 def make_collocation_nlp_functions(col, objective, gradient=None,
-                                   factor_dtype=None, refine_steps=1):
+                                   factor_dtype=None, refine_steps=1,
+                                   scale_from=None):
     """IPMFunctions for a collocation problem.
 
     Parameters
@@ -35,6 +73,10 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
     col : ConstraintCollocator
     objective : callable free -> scalar (JAX-traceable)
     gradient : optional callable free -> (nfree,); default jax.grad.
+    scale_from : optional initial point for gradient-based scaling
+        (may be a traced array inside jit).  When given, the returned
+        functions define the *scaled* NLP; the second return value
+        carries (sf, dsc_full) for unscaling results.
     """
     n = col.num_states
     q = col.num_unknown_input_trajectories
@@ -51,6 +93,15 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
 
     struct_hess = make_structured_scalar_hessian(N, n, q, bw, dtype)
     grad_fn = gradient if gradient is not None else jax.grad(objective)
+
+    if scale_from is not None:
+        sf, dsc_nodes, dsc_inst, dsc_full = compute_scaling(
+            col, grad_fn, scale_from)
+    else:
+        sf = jnp.asarray(1.0, dtype)
+        dsc_nodes = jnp.ones((ni, M), dtype)
+        dsc_inst = jnp.ones((o,), dtype)
+        dsc_full = jnp.ones((col.num_constraints,), dtype)
 
     def split_free(vec):
         """free-layout vector -> (node part (N, nz), border part (bw,))."""
@@ -74,16 +125,47 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
     def join_con(eom_nodes, inst):
         return jnp.concatenate([eom_nodes.T.reshape(-1), inst])
 
+    def objective_s(free):
+        return sf * objective(free)
+
+    def gradient_s(free):
+        return sf * grad_fn(free)
+
+    def constraints_s(free):
+        res, inst = col.constraints_nodewise(free)
+        return join_con(res * dsc_nodes, inst * dsc_inst)
+
+    def split_instance_jac(G):
+        if o:
+            GX = G[:, :n * N].reshape(o, n, N)
+            GU = G[:, n * N:nz * N].reshape(o, q, N)
+            Gz = jnp.concatenate([jnp.swapaxes(GX, 1, 2),
+                                  jnp.swapaxes(GU, 1, 2)], axis=2)
+            Gw = G[:, nz * N:]
+        else:
+            Gz = jnp.zeros((0, N, nz), dtype)
+            Gw = jnp.zeros((0, bw), dtype)
+        return Gz, Gw
+
     def kkt_solve(x, y, sigma_x, ds, rx, rc):
         y_nodes, y_inst = split_con(y)
 
         A, B, C, G = col.jacobian_blocks(x)
-        Hd, Ho, Hw, Hww = col.hessian_blocks(x, y_nodes)
+        A = A * dsc_nodes[:, :, None]
+        B = B * dsc_nodes[:, :, None]
+        C = C * dsc_nodes[:, :, None]
+        if o:
+            G = G * dsc_inst[:, None]
+
+        # Lagrangian Hessian of the scaled constraints: pass
+        # row-scaled multipliers into the exact per-node Hessian.
+        Hd, Ho, Hw, Hww = col.hessian_blocks(x, y_nodes * dsc_nodes)
 
         def phi(f):
-            val = objective(f)
+            val = objective_s(f)
             if o:
-                val = val + jnp.dot(y_inst, col.eval_instance_constraints(f))
+                val = val + jnp.dot(y_inst * dsc_inst,
+                                    col.eval_instance_constraints(f))
             return val
 
         Hd2, Ho2, Hw2, Hww2 = struct_hess(phi, x)
@@ -124,17 +206,6 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         dy = join_con(u[1:, nz:], beta[bw:])
         return dx, dy
 
-    def split_instance_jac(G):
-        if o:
-            GX = G[:, :n * N].reshape(o, n, N)
-            GU = G[:, n * N:nz * N].reshape(o, q, N)
-            Gz = jnp.concatenate([jnp.swapaxes(GX, 1, 2),
-                                  jnp.swapaxes(GU, 1, 2)], axis=2)
-            Gw = G[:, nz * N:]
-        else:
-            Gz = jnp.zeros((0, N, nz), dtype)
-            Gw = jnp.zeros((0, bw), dtype)
-        return Gz, Gw
-
-    return IPMFunctions(objective=objective, gradient=grad_fn,
-                        constraints=col.constraints, kkt_solve=kkt_solve)
+    fns = IPMFunctions(objective=objective_s, gradient=gradient_s,
+                       constraints=constraints_s, kkt_solve=kkt_solve)
+    return fns, (sf, dsc_full)

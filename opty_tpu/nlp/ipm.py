@@ -81,6 +81,7 @@ class IPMOptions(NamedTuple):
     max_rest_iters: int = 80       # cumulative restoration iterations
     s_max: float = 100.0
     debug: bool = False  # python-loop execution with per-iter printout
+    trace: bool = False  # jax.debug.print per-iteration trace (jit-safe)
 
 
 class IPMFunctions(NamedTuple):
@@ -132,6 +133,9 @@ class _State(NamedTuple):
     in_rest: jnp.ndarray      # restoration mode flag
     rest_theta: jnp.ndarray   # theta at restoration entry
     rest_total: jnp.ndarray   # cumulative restoration iterations
+    rest_lam: jnp.ndarray     # LM damping of the restoration GN step
+    theta_prev: jnp.ndarray   # previous-iteration theta (stall detection)
+    stall_count: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
     done: jnp.ndarray
@@ -271,50 +275,86 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         c, vjp = jax.vjp(fns.constraints, x)
         Jty = vjp(y)[0]
         return g, c, Jty
+    def project_interior(xt, st_):
+        """Project a trial point into the strict interior of the
+        bounds (used by the restoration phase)."""
+        xt = jnp.where(fixed, xl, _push_inside(
+            xt, xl, xu, has_xl, has_xu, 1e-9, 1e-9))
+        st_ = jnp.where(eq, cl, _push_inside(
+            st_, cl, cu, has_sl, has_su, 1e-9, 1e-9))
+        return xt, st_
 
-    def restoration_step(x, s):
-        """One projected Cauchy (steepest-descent) step on
-        R = 0.5 ||c(x) - s||^2 with backtracking.  Returns the new
-        point and whether R was reduced."""
+    def restoration_step(x, s, lam):
+        """One damped Gauss-Newton step on R = 0.5 ||c(x) - s||^2.
+
+        Reuses the structured KKT solve with zero multipliers and a
+        Levenberg-Marquardt diagonal:  [[lam I, J^T], [J, -I]] is the
+        augmented form of  (J^T J + lam I) dx = -J^T r,  with the
+        inequality-row slacks absorbing their residual component.
+        Falls back to a projected Cauchy step when GN fails.  This is
+        the strong feasibility-restoration analog of Ipopt's
+        restoration NLP, sharing the banded factorization.
+        """
         c_r, vjp_r = jax.vjp(fns.constraints, x)
         r = c_r - s
         R0 = 0.5 * jnp.dot(r, r)
+
+        sigma_r = jnp.where(fixed, _BIG_SIGMA, lam)
+        dxr, dyr = fns.kkt_solve(x, jnp.zeros_like(r), sigma_r,
+                                 jnp.ones_like(r), jnp.zeros_like(x), -r)
+        dxr = jnp.where(fixed, 0.0, dxr)
+        # slack step: inequality rows absorb their linearized residual
+        dsr = jnp.where(eq, 0.0, dyr)
+        gn_ok = jnp.all(jnp.isfinite(dxr)) & jnp.all(jnp.isfinite(dsr))
+        dxr = jnp.where(gn_ok, dxr, 0.0)
+        dsr = jnp.where(gn_ok, dsr, 0.0)
+
+        # Cauchy direction as fallback
         gx = jnp.where(fixed, 0.0, vjp_r(r)[0])
         gs = jnp.where(eq, 0.0, -r)
         gnorm2 = jnp.dot(gx, gx) + jnp.dot(gs, gs)
-        # Cauchy step for the linearized model
         Jgx = jax.jvp(fns.constraints, (x,), (gx,))[1]
         rho_dir = Jgx - gs
         denom = jnp.dot(rho_dir, rho_dir)
-        alpha0 = jnp.where(denom > 1e-300, gnorm2 / denom, 1.0)
+        a_c = jnp.where(denom > 1e-300, gnorm2 / denom, 1.0)
+        dx_c = -a_c * gx
+        ds_c = -a_c * gs
 
-        def project(xt, st_):
-            xt = jnp.where(fixed, xl, _push_inside(
-                xt, xl, xu, has_xl, has_xu, 1e-9, 1e-9))
-            st_ = jnp.where(eq, cl, _push_inside(
-                st_, cl, cu, has_sl, has_su, 1e-9, 1e-9))
-            return xt, st_
+        def backtrack(dxx, dss):
+            def bt_cond(carry):
+                a, j, ok = carry
+                return (~ok) & (j < 15)
 
-        def bt_cond(carry):
-            a, j, ok = carry
-            return (~ok) & (j < 12)
+            def bt_body(carry):
+                a, j, _ = carry
+                xt, st_ = project_interior(x + a * dxx, s + a * dss)
+                rt = fns.constraints(xt) - st_
+                Rt = 0.5 * jnp.dot(rt, rt)
+                ok = Rt < R0 * (1.0 - 1e-10)
+                a = jnp.where(ok, a, a * 0.5)
+                return a, j + 1, ok
 
-        def bt_body(carry):
-            a, j, _ = carry
-            xt, st_ = project(x - a * gx, s - a * gs)
-            rt = fns.constraints(xt) - st_
-            Rt = 0.5 * jnp.dot(rt, rt)
-            ok = Rt < R0 * (1.0 - 1e-8)
-            a = jnp.where(ok, a, a * 0.5)
-            return a, j + 1, ok
+            return jax.lax.while_loop(
+                bt_cond, bt_body,
+                (jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
+                 jnp.asarray(False)))
 
-        a, _, reduced = jax.lax.while_loop(
-            bt_cond, bt_body,
-            (alpha0, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
-        x_n, s_n = project(x - a * gx, s - a * gs)
+        a_gn, _, gn_red = backtrack(dxr, dsr)
+        use_gn = gn_ok & gn_red
+        a_f, _, c_red = backtrack(dx_c, ds_c)
+        a_use = jnp.where(use_gn, a_gn, a_f)
+        dx_use = jnp.where(use_gn, dxr, dx_c)
+        ds_use = jnp.where(use_gn, dsr, ds_c)
+        reduced = use_gn | c_red
+        x_n, s_n = project_interior(x + a_use * dx_use, s + a_use * ds_use)
         x_n = jnp.where(reduced, x_n, x)
         s_n = jnp.where(reduced, s_n, s)
-        return x_n, s_n, reduced
+        # LM damping adaptation: shrink when GN worked at full step
+        lam_n = jnp.where(use_gn & (a_gn > 0.9),
+                          jnp.maximum(lam * 0.33, 1e-10),
+                          jnp.where(use_gn, lam, jnp.minimum(lam * 10.0,
+                                                             1e6)))
+        return x_n, s_n, reduced, lam_n
 
     # ---- main loop ------------------------------------------------------
     def cond(st: _State):
@@ -349,336 +389,323 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         f_phi = jnp.where(mu_shrunk, fp0, st.f_phi)
         f_count = jnp.where(mu_shrunk, fc0, st.f_count)
 
-        dLx = jnp.where(mL, x - xl, 1.0)
-        dUx = jnp.where(mU, xu - x, 1.0)
-        dLs = jnp.where(msL, s - cl, 1.0)
-        dUs = jnp.where(msU, cu - s, 1.0)
-        iLx = _masked_inv(dLx, mL)
-        iUx = _masked_inv(dUx, mU)
-        iLs = _masked_inv(dLs, msL)
-        iUs = _masked_inv(dUs, msU)
+        theta_now = jnp.sum(jnp.abs(c - s))
 
-        SigL = zL * iLx
-        SigU = zU * iUx
-        sigma_x = SigL + SigU + jnp.where(fixed, _BIG_SIGMA, 0.0)
-        SigsL = wL * iLs
-        SigsU = wU * iUs
-        sigma_s = SigsL + SigsU
-        # Ds = Sigma_s^{-1}; equality rows (no slack freedom) -> 0,
-        # completely free rows (no finite bound at all) -> huge.
-        free_row = ~eq & ~msL & ~msU
-        Ds = jnp.where(eq, 0.0,
-                       jnp.where(free_row, _BIG_SIGMA,
-                                 1.0 / jnp.maximum(sigma_s, 1e-300)))
+        # ================================================================
+        # branch 1: regular filter-IPM step
+        # ================================================================
+        def ipm_branch(_):
+            dLx = jnp.where(mL, x - xl, 1.0)
+            dUx = jnp.where(mU, xu - x, 1.0)
+            dLs = jnp.where(msL, s - cl, 1.0)
+            dUs = jnp.where(msU, cu - s, 1.0)
+            iLx = _masked_inv(dLx, mL)
+            iUx = _masked_inv(dUx, mU)
+            iLs = _masked_inv(dLs, msL)
+            iUs = _masked_inv(dUs, msU)
 
-        rx = -(g + Jty - mu * iLx + mu * iUx)
-        rx = jnp.where(fixed, 0.0, rx)
-        rhs_s = -(-y - mu * iLs + mu * iUs)
-        rhs_s = jnp.where(eq, 0.0, rhs_s)
-        rc = -(c - s) + Ds * rhs_s
+            SigL = zL * iLx
+            SigU = zU * iUx
+            sigma_x = SigL + SigU + jnp.where(fixed, _BIG_SIGMA, 0.0)
+            SigsL = wL * iLs
+            SigsU = wU * iUs
+            sigma_s = SigsL + SigsU
+            free_row = ~eq & ~msL & ~msU
+            Ds = jnp.where(eq, 0.0,
+                           jnp.where(free_row, _BIG_SIGMA,
+                                     1.0 / jnp.maximum(sigma_s, 1e-300)))
 
-        # -- search direction with inertia-free curvature correction -----
-        def lag_grad(xx):
-            _, vj = jax.vjp(fns.constraints, xx)
-            return fns.gradient(xx) + vj(y)[0]
+            rx = -(g + Jty - mu * iLx + mu * iUx)
+            rx = jnp.where(fixed, 0.0, rx)
+            rhs_s = -(-y - mu * iLs + mu * iUs)
+            rhs_s = jnp.where(eq, 0.0, rhs_s)
+            rc = -(c - s) + Ds * rhs_s
 
-        def compute_dir(delta_w, delta_c):
-            dxx, dyy = fns.kkt_solve(x, y, sigma_x + delta_w,
-                                     Ds + delta_c, rx, rc)
-            dxx = jnp.where(fixed, 0.0, dxx)
-            dss = Ds * (dyy + rhs_s)
-            dss = jnp.where(eq, 0.0, dss)
-            return dxx, dyy, dss
+            # -- direction with inertia-free curvature correction --------
+            def lag_grad(xx):
+                _, vj = jax.vjp(fns.constraints, xx)
+                return fns.gradient(xx) + vj(y)[0]
 
-        def dir_quality(dxx, dyy, dss, delta_w):
-            finite = (jnp.all(jnp.isfinite(dxx))
-                      & jnp.all(jnp.isfinite(dyy)))
-            Wdx = jax.jvp(lag_grad, (x,), (dxx,))[1]
-            curv = (jnp.dot(dxx, Wdx) + jnp.dot(sigma_x * dxx, dxx)
-                    + delta_w * jnp.dot(dxx, dxx)
-                    + jnp.dot(sigma_s * dss, dss))
-            nrm = jnp.dot(dxx, dxx) + jnp.dot(dss, dss)
-            return finite & (curv >= opt.kappa_curv * nrm), finite
+            def compute_dir(delta_w, delta_c):
+                dxx, dyy = fns.kkt_solve(x, y, sigma_x + delta_w,
+                                         Ds + delta_c, rx, rc)
+                dxx = jnp.where(fixed, 0.0, dxx)
+                dss = Ds * (dyy + rhs_s)
+                dss = jnp.where(eq, 0.0, dss)
+                return dxx, dyy, dss
 
-        def dir_cond(carry):
-            _, _, _, _, _, tries, ok = carry
-            return (~ok) & (tries < 14)
+            def dir_quality(dxx, dyy, dss, delta_w):
+                finite = (jnp.all(jnp.isfinite(dxx))
+                          & jnp.all(jnp.isfinite(dyy)))
+                Wdx = jax.jvp(lag_grad, (x,), (dxx,))[1]
+                curv = (jnp.dot(dxx, Wdx) + jnp.dot(sigma_x * dxx, dxx)
+                        + delta_w * jnp.dot(dxx, dxx)
+                        + jnp.dot(sigma_s * dss, dss))
+                nrm = jnp.dot(dxx, dxx) + jnp.dot(dss, dss)
+                return finite & (curv >= opt.kappa_curv * nrm), finite
 
-        def dir_body(carry):
-            dxx, dyy, dss, dw, dc, tries, _ = carry
-            dw_new = jnp.where(
-                tries == 0,
-                jnp.maximum(opt.delta_w_init * 1e4, st.delta_w * 0.33),
-                jnp.minimum(dw * 8.0, opt.delta_w_max))
-            dxx, dyy, dss = compute_dir(dw_new, dc)
-            ok, finite = dir_quality(dxx, dyy, dss, dw_new)
-            dc_new = jnp.where(finite, dc,
-                               jnp.maximum(dc * 100.0, opt.delta_c_init))
-            return dxx, dyy, dss, dw_new, dc_new, tries + 1, ok
+            def dir_cond(carry):
+                _, _, _, _, _, tries, ok = carry
+                return (~ok) & (tries < 14)
 
-        dx, dy, ds = compute_dir(jnp.asarray(0.0, dtype), st.delta_c)
-        ok0, _ = dir_quality(dx, dy, ds, jnp.asarray(0.0, dtype))
-        dx, dy, ds, delta_w_used, delta_c, _, dir_ok = jax.lax.while_loop(
-            dir_cond, dir_body,
-            (dx, dy, ds, jnp.asarray(0.0, dtype), st.delta_c,
-             jnp.asarray(0, jnp.int32), ok0))
-        dir_bad = ~dir_ok
-        dx = jnp.where(dir_bad, 0.0, dx)
-        dy = jnp.where(dir_bad, 0.0, dy)
-        ds = jnp.where(dir_bad, 0.0, ds)
+            def dir_body(carry):
+                dxx, dyy, dss, dw, dc, tries, _ = carry
+                dw_new = jnp.where(
+                    tries == 0,
+                    jnp.maximum(opt.delta_w_init * 1e4,
+                                st.delta_w * 0.33),
+                    jnp.minimum(dw * 8.0, opt.delta_w_max))
+                dxx, dyy, dss = compute_dir(dw_new, dc)
+                ok, finite = dir_quality(dxx, dyy, dss, dw_new)
+                dc_new = jnp.where(finite, dc,
+                                   jnp.maximum(dc * 100.0,
+                                               opt.delta_c_init))
+                return dxx, dyy, dss, dw_new, dc_new, tries + 1, ok
 
-        dzL = jnp.where(mL, mu * iLx - zL - SigL * dx, 0.0)
-        dzU = jnp.where(mU, mu * iUx - zU + SigU * dx, 0.0)
-        dwL = jnp.where(msL, mu * iLs - wL - SigsL * ds, 0.0)
-        dwU = jnp.where(msU, mu * iUs - wU + SigsU * ds, 0.0)
+            dx, dy, ds = compute_dir(jnp.asarray(0.0, dtype), st.delta_c)
+            ok0, _ = dir_quality(dx, dy, ds, jnp.asarray(0.0, dtype))
+            dx, dy, ds, delta_w_used, delta_c, _, dir_ok = \
+                jax.lax.while_loop(
+                    dir_cond, dir_body,
+                    (dx, dy, ds, jnp.asarray(0.0, dtype), st.delta_c,
+                     jnp.asarray(0, jnp.int32), ok0))
+            dir_bad = ~dir_ok
+            dx = jnp.where(dir_bad, 0.0, dx)
+            dy = jnp.where(dir_bad, 0.0, dy)
+            ds = jnp.where(dir_bad, 0.0, ds)
 
-        # -- fraction to boundary ----------------------------------------
-        a_pr_max = jnp.minimum(
-            jnp.minimum(_ftb_alpha(dLx, dx, mL, tau),
-                        _ftb_alpha(dUx, -dx, mU, tau)),
-            jnp.minimum(_ftb_alpha(dLs, ds, msL, tau),
-                        _ftb_alpha(dUs, -ds, msU, tau)))
-        a_du = jnp.minimum(
-            jnp.minimum(_ftb_alpha(zL, dzL, mL, tau),
-                        _ftb_alpha(zU, dzU, mU, tau)),
-            jnp.minimum(_ftb_alpha(wL, dwL, msL, tau),
-                        _ftb_alpha(wU, dwU, msU, tau)))
+            # -- fraction to boundary ------------------------------------
+            a_pr_max = jnp.minimum(
+                jnp.minimum(_ftb_alpha(dLx, dx, mL, tau),
+                            _ftb_alpha(dUx, -dx, mU, tau)),
+                jnp.minimum(_ftb_alpha(dLs, ds, msL, tau),
+                            _ftb_alpha(dUs, -ds, msU, tau)))
 
-        # -- filter line search (Waechter-Biegler) -----------------------
-        phi0, theta0 = barrier_phi(x, s, mu)
-        gphi_x = g - mu * iLx + mu * iUx
-        gphi_s = -mu * iLs + mu * iUs
-        Dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
+            # -- filter line search --------------------------------------
+            phi0, theta0 = barrier_phi(x, s, mu)
+            gphi_x = g - mu * iLx + mu * iUx
+            gphi_s = -mu * iLs + mu * iUs
+            Dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
 
-        # minimal step size before declaring line-search failure
-        neg = Dphi < 0
-        amin_sw = jnp.minimum(
-            opt.gamma_theta,
-            jnp.minimum(
-                opt.gamma_phi * theta0 / jnp.maximum(-Dphi, 1e-300),
-                opt.delta_switch * theta0 ** opt.s_theta
-                / jnp.maximum((-Dphi) ** opt.s_phi, 1e-300)))
-        amin_ne = jnp.minimum(opt.gamma_theta,
-                              opt.gamma_phi * theta0
-                              / jnp.maximum(-Dphi, 1e-300))
-        alpha_min = opt.gamma_alpha * jnp.where(
-            neg & (theta0 <= theta_min), amin_sw,
-            jnp.where(neg, amin_ne, opt.gamma_theta))
+            neg = Dphi < 0
+            amin_sw = jnp.minimum(
+                opt.gamma_theta,
+                jnp.minimum(
+                    opt.gamma_phi * theta0 / jnp.maximum(-Dphi, 1e-300),
+                    opt.delta_switch * theta0 ** opt.s_theta
+                    / jnp.maximum((-Dphi) ** opt.s_phi, 1e-300)))
+            amin_ne = jnp.minimum(opt.gamma_theta,
+                                  opt.gamma_phi * theta0
+                                  / jnp.maximum(-Dphi, 1e-300))
+            alpha_min = opt.gamma_alpha * jnp.where(
+                neg & (theta0 <= theta_min), amin_sw,
+                jnp.where(neg, amin_ne, opt.gamma_theta))
 
-        step_small = jnp.max(jnp.abs(jnp.concatenate([dx, ds]))
-                             / (1.0 + jnp.abs(jnp.concatenate([x, s])))
-                             ) < 10.0 * eps_mach
+            step_small = jnp.max(
+                jnp.abs(jnp.concatenate([dx, ds]))
+                / (1.0 + jnp.abs(jnp.concatenate([x, s])))
+            ) < 10.0 * eps_mach
 
-        fslots = jnp.arange(_FILTER_SIZE)
+            fslots = jnp.arange(_FILTER_SIZE)
 
-        def filter_ok_fn(theta_t, phi_t):
-            valid = fslots < f_count
-            ok_each = (theta_t < f_theta) | (phi_t < f_phi)
-            return jnp.all(ok_each | ~valid)
+            def filter_ok_fn(theta_t, phi_t):
+                valid = fslots < f_count
+                ok_each = (theta_t < f_theta) | (phi_t < f_phi)
+                return jnp.all(ok_each | ~valid)
 
-        def try_alpha(alpha):
-            phi_t, theta_t = barrier_phi(x + alpha * dx, s + alpha * ds, mu)
-            f_ok = filter_ok_fn(theta_t, phi_t)
-            sw = neg & (alpha * (-Dphi) ** opt.s_phi
-                        > opt.delta_switch * theta0 ** opt.s_theta)
-            armijo = phi_t <= phi0 + opt.eta_phi * alpha * Dphi \
-                + 10.0 * eps_mach * jnp.abs(phi0)
-            curr_ok = ((theta_t <= (1.0 - opt.gamma_theta) * theta0)
-                       | (phi_t <= phi0 - opt.gamma_phi * theta0))
-            ftype = (theta0 <= theta_min) & sw
-            acc = f_ok & jnp.where(ftype, armijo, curr_ok)
-            return acc, ftype & armijo
+            def try_dir(alpha, dxx, dss):
+                phi_t, theta_t = barrier_phi(x + alpha * dxx,
+                                             s + alpha * dss, mu)
+                f_ok = filter_ok_fn(theta_t, phi_t)
+                Dphi_d = jnp.dot(gphi_x, dxx) + jnp.dot(gphi_s, dss)
+                sw = (Dphi_d < 0) & (alpha * (-Dphi_d) ** opt.s_phi
+                                     > opt.delta_switch
+                                     * theta0 ** opt.s_theta)
+                armijo = phi_t <= phi0 + opt.eta_phi * alpha * Dphi_d \
+                    + 10.0 * eps_mach * jnp.abs(phi0)
+                curr_ok = ((theta_t <= (1.0 - opt.gamma_theta) * theta0)
+                           | (phi_t <= phi0 - opt.gamma_phi * theta0))
+                ftype = (theta0 <= theta_min) & sw
+                return f_ok & jnp.where(ftype, armijo, curr_ok), \
+                    ftype & armijo
 
-        # first trial at the full fraction-to-boundary step
-        acc1, ftype1 = try_alpha(a_pr_max)
-        acc1 = (acc1 | step_small) & ~dir_bad
-        phi_t1, theta_t1 = barrier_phi(x + a_pr_max * dx,
-                                       s + a_pr_max * ds, mu)
+            acc1, ftype1 = try_dir(a_pr_max, dx, ds)
+            acc1 = (acc1 | step_small) & ~dir_bad
+            _, theta_t1 = barrier_phi(x + a_pr_max * dx,
+                                      s + a_pr_max * ds, mu)
 
-        # -- second-order correction (Ipopt A-5.7) -----------------------
-        # If the full step was rejected with increased infeasibility,
-        # re-solve the KKT system with the constraint rhs replaced by
-        # the second-order residual  alpha*(c-s) + r(trial); this cancels
-        # the constraint curvature that caused the overshoot.
-        def soc_branch(_):
-            r_trial = (fns.constraints(x + a_pr_max * dx)
-                       - (s + a_pr_max * ds))
-            c_soc = a_pr_max * (c - s) + r_trial
-            rc_soc = -c_soc + Ds * rhs_s
-            dxx, dyy = fns.kkt_solve(x, y, sigma_x + delta_w_used,
-                                     Ds + delta_c, rx, rc_soc)
-            dxx = jnp.where(fixed, 0.0, dxx)
-            dss = Ds * (dyy + rhs_s)
-            dss = jnp.where(eq, 0.0, dss)
-            fin = jnp.all(jnp.isfinite(dxx)) & jnp.all(jnp.isfinite(dyy))
-            dxx = jnp.where(fin, dxx, 0.0)
-            dyy = jnp.where(fin, dyy, 0.0)
-            dss = jnp.where(fin, dss, 0.0)
-            return dxx, dyy, dss, fin
+            # -- second-order correction (Ipopt A-5.7) -------------------
+            def soc_branch(_):
+                r_trial = (fns.constraints(x + a_pr_max * dx)
+                           - (s + a_pr_max * ds))
+                c_soc = a_pr_max * (c - s) + r_trial
+                rc_soc = -c_soc + Ds * rhs_s
+                dxx, dyy = fns.kkt_solve(x, y, sigma_x + delta_w_used,
+                                         Ds + delta_c, rx, rc_soc)
+                dxx = jnp.where(fixed, 0.0, dxx)
+                dss = Ds * (dyy + rhs_s)
+                dss = jnp.where(eq, 0.0, dss)
+                fin = jnp.all(jnp.isfinite(dxx)) \
+                    & jnp.all(jnp.isfinite(dyy))
+                dxx = jnp.where(fin, dxx, 0.0)
+                dyy = jnp.where(fin, dyy, 0.0)
+                dss = jnp.where(fin, dss, 0.0)
+                return dxx, dyy, dss, fin
 
-        def no_soc(_):
-            zeros = jnp.zeros_like(dx)
-            return zeros, jnp.zeros_like(dy), jnp.zeros_like(ds), \
-                jnp.asarray(False)
+            def no_soc(_):
+                return (jnp.zeros_like(dx), jnp.zeros_like(dy),
+                        jnp.zeros_like(ds), jnp.asarray(False))
 
-        want_soc = (~acc1) & (theta_t1 >= theta0) & ~dir_bad
-        dx_soc, dy_soc, ds_soc, soc_fin = jax.lax.cond(
-            want_soc, soc_branch, no_soc, operand=None)
+            want_soc = (~acc1) & (theta_t1 >= theta0) & ~dir_bad
+            dx_soc, dy_soc, ds_soc, soc_fin = jax.lax.cond(
+                want_soc, soc_branch, no_soc, operand=None)
 
-        def try_dir(alpha, dxx, dss):
-            """Filter acceptance test for an arbitrary direction."""
-            phi_t, theta_t = barrier_phi(x + alpha * dxx,
-                                         s + alpha * dss, mu)
-            f_ok = filter_ok_fn(theta_t, phi_t)
-            Dphi_d = jnp.dot(gphi_x, dxx) + jnp.dot(gphi_s, dss)
-            sw = (Dphi_d < 0) & (alpha * (-Dphi_d) ** opt.s_phi
-                                 > opt.delta_switch
-                                 * theta0 ** opt.s_theta)
-            armijo = phi_t <= phi0 + opt.eta_phi * alpha * Dphi_d \
-                + 10.0 * eps_mach * jnp.abs(phi0)
-            curr_ok = ((theta_t <= (1.0 - opt.gamma_theta) * theta0)
-                       | (phi_t <= phi0 - opt.gamma_phi * theta0))
-            ftype = (theta0 <= theta_min) & sw
-            return f_ok & jnp.where(ftype, armijo, curr_ok), ftype & armijo
+            a_soc = jnp.minimum(
+                jnp.minimum(_ftb_alpha(dLx, dx_soc, mL, tau),
+                            _ftb_alpha(dUx, -dx_soc, mU, tau)),
+                jnp.minimum(_ftb_alpha(dLs, ds_soc, msL, tau),
+                            _ftb_alpha(dUs, -ds_soc, msU, tau)))
+            acc_soc, ftype_soc = try_dir(a_soc, dx_soc, ds_soc)
+            acc_soc = acc_soc & soc_fin & want_soc
 
-        a_soc = jnp.minimum(
-            jnp.minimum(_ftb_alpha(dLx, dx_soc, mL, tau),
-                        _ftb_alpha(dUx, -dx_soc, mU, tau)),
-            jnp.minimum(_ftb_alpha(dLs, ds_soc, msL, tau),
-                        _ftb_alpha(dUs, -ds_soc, msU, tau)))
-        acc_soc, ftype_soc = try_dir(a_soc, dx_soc, ds_soc)
-        acc_soc = acc_soc & soc_fin & want_soc
+            # -- backtracking fallback -----------------------------------
+            def ls_cond(carry):
+                alpha, j, accepted, _ = carry
+                return (~accepted) & (j < opt.max_ls) & (alpha >= alpha_min)
 
-        # fallback: backtracking on the original direction from a/2
-        def ls_cond(carry):
-            alpha, j, accepted, _ = carry
-            return (~accepted) & (j < opt.max_ls) & (alpha >= alpha_min)
+            def ls_body(carry):
+                alpha, j, _, _ = carry
+                acc, is_ftype = try_dir(alpha, dx, ds)
+                acc = acc | step_small
+                alpha_new = jnp.where(acc, alpha, alpha * 0.5)
+                return alpha_new, j + 1, acc, is_ftype
 
-        def ls_body(carry):
-            alpha, j, _, _ = carry
-            acc, is_ftype = try_alpha(alpha)
-            acc = acc | step_small
-            alpha_new = jnp.where(acc, alpha, alpha * 0.5)
-            return alpha_new, j + 1, acc, is_ftype
+            alpha_bt, _, acc_bt, ftype_bt = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (a_pr_max * 0.5, jnp.asarray(1, jnp.int32),
+                 jnp.asarray(False), jnp.asarray(False)))
+            acc_bt = acc_bt & ~dir_bad
 
-        alpha_bt, _, acc_bt, ftype_bt = jax.lax.while_loop(
-            ls_cond, ls_body,
-            (a_pr_max * 0.5, jnp.asarray(1, jnp.int32),
-             jnp.asarray(False), jnp.asarray(False)))
-        acc_bt = acc_bt & ~dir_bad
+            use_soc = (~acc1) & acc_soc
+            use_bt = (~acc1) & (~use_soc) & acc_bt
+            accepted = acc1 | use_soc | use_bt
+            alpha = jnp.where(acc1, a_pr_max,
+                              jnp.where(use_soc, a_soc,
+                                        jnp.where(use_bt, alpha_bt, 0.0)))
+            dx_f = jnp.where(use_soc, dx_soc, dx)
+            dy_f = jnp.where(use_soc, dy_soc, dy)
+            ds_f = jnp.where(use_soc, ds_soc, ds)
+            was_ftype = jnp.where(acc1, ftype1,
+                                  jnp.where(use_soc, ftype_soc, ftype_bt))
 
-        # combine: full step > SOC step > backtracked step
-        use_soc = (~acc1) & acc_soc
-        use_bt = (~acc1) & (~use_soc) & acc_bt
-        if opt.debug:
-            ph_soc, th_soc = barrier_phi(x + a_soc * dx_soc,
-                                         s + a_soc * ds_soc, mu)
-            print('   ls: acc1={} th0={:.3e} th_t1={:.3e} ph0={:.6e} '
-                  'soc(want={} acc={} a={:.2e} th={:.3e} ph={:.5e}) '
-                  'a_bt={:.2e} accbt={} |dx|={:.2e}'.format(
-                      bool(acc1), float(theta0), float(theta_t1),
-                      float(phi0), bool(want_soc), bool(acc_soc),
-                      float(a_soc), float(th_soc), float(ph_soc),
-                      float(alpha_bt), bool(acc_bt),
-                      float(jnp.max(jnp.abs(dx)))))
-        accepted = acc1 | use_soc | use_bt
-        alpha = jnp.where(acc1, a_pr_max,
-                          jnp.where(use_soc, a_soc,
-                                    jnp.where(use_bt, alpha_bt, 0.0)))
-        dx = jnp.where(use_soc, dx_soc, dx)
-        dy = jnp.where(use_soc, dy_soc, dy)
-        ds = jnp.where(use_soc, ds_soc, ds)
-        was_ftype = jnp.where(acc1, ftype1,
-                              jnp.where(use_soc, ftype_soc, ftype_bt))
-        # dual directions for the (possibly SOC-replaced) primal step
-        dzL = jnp.where(mL, mu * iLx - zL - SigL * dx, 0.0)
-        dzU = jnp.where(mU, mu * iUx - zU + SigU * dx, 0.0)
-        dwL = jnp.where(msL, mu * iLs - wL - SigsL * ds, 0.0)
-        dwU = jnp.where(msU, mu * iUs - wU + SigsU * ds, 0.0)
-        a_du = jnp.minimum(
-            jnp.minimum(_ftb_alpha(zL, dzL, mL, tau),
-                        _ftb_alpha(zU, dzU, mU, tau)),
-            jnp.minimum(_ftb_alpha(wL, dwL, msL, tau),
-                        _ftb_alpha(wU, dwU, msU, tau)))
+            # dual directions & step
+            dzL = jnp.where(mL, mu * iLx - zL - SigL * dx_f, 0.0)
+            dzU = jnp.where(mU, mu * iUx - zU + SigU * dx_f, 0.0)
+            dwL = jnp.where(msL, mu * iLs - wL - SigsL * ds_f, 0.0)
+            dwU = jnp.where(msU, mu * iUs - wU + SigsU * ds_f, 0.0)
+            a_du = jnp.minimum(
+                jnp.minimum(_ftb_alpha(zL, dzL, mL, tau),
+                            _ftb_alpha(zU, dzU, mU, tau)),
+                jnp.minimum(_ftb_alpha(wL, dwL, msL, tau),
+                            _ftb_alpha(wU, dwU, msU, tau)))
 
-        # filter augmentation for accepted non-f-type steps
-        augment = accepted & ~was_ftype & ~step_small
-        slot = jnp.minimum(f_count, _FILTER_SIZE - 1)
-        f_theta_aug = f_theta.at[slot].set(
-            (1.0 - opt.gamma_theta) * theta0)
-        f_phi_aug = f_phi.at[slot].set(phi0 - opt.gamma_phi * theta0)
-        f_theta = jnp.where(augment, f_theta_aug, f_theta)
-        f_phi = jnp.where(augment, f_phi_aug, f_phi)
-        f_count = jnp.where(augment,
+            x_n = x + alpha * dx_f
+            s_n = s + alpha * ds_f
+            y_n = y + alpha * dy_f
+            zL_n = zL + a_du * dzL
+            zU_n = zU + a_du * dzU
+            wL_n = wL + a_du * dwL
+            wU_n = wU + a_du * dwU
+
+            # filter augmentation for accepted non-f-type steps
+            augment = accepted & ~was_ftype & ~step_small
+            slot = jnp.minimum(f_count, _FILTER_SIZE - 1)
+            fth = jnp.where(augment, f_theta.at[slot].set(
+                (1.0 - opt.gamma_theta) * theta0), f_theta)
+            fph = jnp.where(augment, f_phi.at[slot].set(
+                phi0 - opt.gamma_phi * theta0), f_phi)
+            fcn = jnp.where(augment,
                             jnp.minimum(f_count + 1, _FILTER_SIZE - 1),
                             f_count)
 
-        # -- regular (accepted) update -----------------------------------
-        x_acc = x + alpha * dx
-        s_acc = s + alpha * ds
-        y_acc = y + alpha * dy
-        zL_acc = zL + a_du * dzL
-        zU_acc = zU + a_du * dzU
-        wL_acc = wL + a_du * dwL
-        wU_acc = wU + a_du * dwU
+            # -- restoration triggers ------------------------------------
+            # (a) line search failed; (b) theta stagnates far from
+            # feasibility; (c) duals blow up (degenerate subproblem)
+            stall = (theta0 > 1e2 * theta_min) & \
+                (theta0 > 0.997 * st.theta_prev)
+            stall_count = jnp.where(accepted & stall,
+                                    st.stall_count + 1, 0)
+            y_blown = jnp.max(jnp.abs(y_n)) > 1e10
+            enter_rest = ((~accepted) | (stall_count >= 10) | y_blown) \
+                & (theta0 > theta_min)
+            # on entry reset the equality multipliers (they are
+            # re-estimated after restoration)
+            y_n = jnp.where(enter_rest & y_blown, 0.0, y_n)
 
-        # -- restoration mode ---------------------------------------------
-        # Entered when the filter search fails; performs projected
-        # Cauchy steps on ||c - s||^2 until theta is sufficiently
-        # reduced, then restarts the filter and multipliers.
-        enter_rest = (~accepted) & (~st.in_rest)
-        in_rest = st.in_rest | enter_rest
-        rest_theta = jnp.where(enter_rest, theta0, st.rest_theta)
+            return (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n,
+                    fth, fph, fcn, enter_rest,
+                    jnp.where(enter_rest, theta0, st.rest_theta),
+                    st.rest_lam, delta_w_used, delta_c, alpha,
+                    stall_count, jnp.asarray(False))
 
-        x_r, s_r, rest_reduced = restoration_step(x, s)
-        theta_r = jnp.sum(jnp.abs(fns.constraints(x_r) - s_r))
-        rest_exit = in_rest & (
-            (theta_r <= jnp.maximum(opt.rest_reduction * rest_theta,
-                                    theta_min))
-            | (theta_r <= opt.tol))
-        rest_failed = in_rest & ~rest_reduced & ~rest_exit
+        # ================================================================
+        # branch 2: feasibility restoration step
+        # ================================================================
+        def rest_branch(_):
+            x_r, s_r, reduced, lam_n = restoration_step(x, s, st.rest_lam)
+            theta_r = jnp.sum(jnp.abs(fns.constraints(x_r) - s_r))
+            exit_now = ((theta_r <= jnp.maximum(
+                opt.rest_reduction * st.rest_theta, theta_min))
+                | (theta_r <= opt.tol))
+            # local-infeasibility detection: restoration makes no
+            # relative progress on theta for many steps in a row
+            no_prog = theta_r > 0.9999 * theta_now
+            stall_r = jnp.where(no_prog, st.stall_count + 1,
+                                jnp.asarray(0, jnp.int32))
+            rest_failed = ((~reduced) | (stall_r >= 15)) & (~exit_now)
 
-        use_rest = in_rest
-        x_n = jnp.where(use_rest, x_r, x_acc)
-        s_n = jnp.where(use_rest, s_r, s_acc)
-        # restoration resets equality multipliers; bound multipliers are
-        # recentered from mu on exit
-        y_n = jnp.where(use_rest, jnp.where(rest_exit, 0.0, y), y_acc)
-        in_rest = in_rest & ~rest_exit
-        rest_total = st.rest_total + jnp.asarray(use_rest, jnp.int32)
+            dLx_e = jnp.where(mL, x_r - xl, 1.0)
+            dUx_e = jnp.where(mU, xu - x_r, 1.0)
+            dLs_e = jnp.where(msL, s_r - cl, 1.0)
+            dUs_e = jnp.where(msU, cu - s_r, 1.0)
+            # exit: reset equality multipliers, recenter bound duals
+            y_n = jnp.where(exit_now, 0.0, y)
+            zL_n = jnp.where(exit_now, jnp.where(mL, mu / dLx_e, 0.0), zL)
+            zU_n = jnp.where(exit_now, jnp.where(mU, mu / dUx_e, 0.0), zU)
+            wL_n = jnp.where(exit_now, jnp.where(msL, mu / dLs_e, 0.0), wL)
+            wU_n = jnp.where(exit_now, jnp.where(msU, mu / dUs_e, 0.0), wU)
 
-        dLx_e = jnp.where(mL, x_n - xl, 1.0)
-        dUx_e = jnp.where(mU, xu - x_n, 1.0)
-        dLs_e = jnp.where(msL, s_n - cl, 1.0)
-        dUs_e = jnp.where(msU, cu - s_n, 1.0)
-        recenter = use_rest & rest_exit
-        zL_n = jnp.where(recenter, jnp.where(mL, mu / dLx_e, 0.0),
-                         jnp.where(use_rest, zL, zL_acc))
-        zU_n = jnp.where(recenter, jnp.where(mU, mu / dUx_e, 0.0),
-                         jnp.where(use_rest, zU, zU_acc))
-        wL_n = jnp.where(recenter, jnp.where(msL, mu / dLs_e, 0.0),
-                         jnp.where(use_rest, wL, wL_acc))
-        wU_n = jnp.where(recenter, jnp.where(msU, mu / dUs_e, 0.0),
-                         jnp.where(use_rest, wU, wU_acc))
+            ftf, fpf, fcf = fresh_filter()
+            fth = jnp.where(exit_now, ftf, f_theta)
+            fph = jnp.where(exit_now, fpf, f_phi)
+            fcn = jnp.where(exit_now, fcf, f_count)
 
-        # reset filter when leaving restoration
-        ftf, fpf, fcf = fresh_filter()
-        f_theta = jnp.where(recenter, ftf, f_theta)
-        f_phi = jnp.where(recenter, fpf, f_phi)
-        f_count = jnp.where(recenter, fcf, f_count)
+            in_rest_next = ~exit_now
+            return (x_r, s_r, y_n, zL_n, zU_n, wL_n, wU_n,
+                    fth, fph, fcn, in_rest_next, st.rest_theta,
+                    lam_n, st.delta_w, st.delta_c,
+                    jnp.asarray(0.0, dtype), stall_r, rest_failed)
+
+        (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, f_theta, f_phi, f_count,
+         in_rest, rest_theta, rest_lam, delta_w, delta_c, alpha,
+         stall_count, rest_failed) = jax.lax.cond(
+            st.in_rest, rest_branch, ipm_branch, operand=None)
+
+        rest_total = st.rest_total + jnp.asarray(st.in_rest, jnp.int32)
 
         # -- Ipopt kappa_sigma multiplier safeguard ----------------------
+        dLx_n = jnp.where(mL, x_n - xl, 1.0)
+        dUx_n = jnp.where(mU, xu - x_n, 1.0)
+        dLs_n = jnp.where(msL, s_n - cl, 1.0)
+        dUs_n = jnp.where(msU, cu - s_n, 1.0)
         kS = opt.kappa_sigma
         clipz = lambda z, d, mk: jnp.where(
             mk, jnp.clip(z, mu / (kS * jnp.maximum(d, 1e-300)),
                          kS * mu / jnp.maximum(d, 1e-300)), 0.0)
-        zL_n = clipz(zL_n, dLx_e, mL)
-        zU_n = clipz(zU_n, dUx_e, mU)
-        wL_n = clipz(wL_n, dLs_e, msL)
-        wU_n = clipz(wU_n, dUs_e, msU)
-
-        # delta_w warm start for the next iteration's trial sequence
-        delta_w = delta_w_used
+        zL_n = clipz(zL_n, dLx_n, mL)
+        zU_n = clipz(zU_n, dUx_n, mU)
+        wL_n = clipz(wL_n, dLs_n, msL)
+        wU_n = clipz(wU_n, dUs_n, msU)
 
         # -- convergence tests -------------------------------------------
         g_n, c_n, Jty_n = eval_point(x_n, y_n)
@@ -692,10 +719,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
 
         bad = ~(jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(y_n))
                 & jnp.all(jnp.isfinite(s_n)))
-        # restoration exhausted: either the Cauchy step cannot reduce
-        # theta further (local infeasibility) or too many restoration
-        # iterations total
-        infeasible = rest_failed & (theta_r > theta_min)
+        theta_new = jnp.sum(jnp.abs(c_n - s_n))
+        infeasible = rest_failed & (theta_new > theta_min)
         rest_exhausted = rest_total >= opt.max_rest_iters
 
         status = jnp.where(
@@ -714,6 +739,15 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
 
         obj_history = st.obj_history.at[st.it].set(fns.objective(x_n))
 
+        if opt.trace:
+            jax.debug.print(
+                'it={it} mu={mu:.2e} pr={pr:.2e} du={du:.2e} dw={dw:.1e} '
+                'al={al:.1e} rest={rs} th={th:.2e} |y|={ym:.1e} '
+                'E0={e0:.2e}',
+                it=st.it, mu=mu, pr=inf_pr, du=inf_du, dw=delta_w,
+                al=alpha, rs=in_rest, th=theta_new,
+                ym=jnp.max(jnp.abs(y_n)), e0=E0)
+
         return _State(
             x=sel(x_n, x), s=sel(s_n, s), y=sel(y_n, y),
             zL=sel(zL_n, zL), zU=sel(zU_n, zU),
@@ -721,6 +755,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             mu=mu, delta_w=delta_w, delta_c=delta_c,
             f_theta=f_theta, f_phi=f_phi, f_count=f_count,
             in_rest=in_rest, rest_theta=rest_theta, rest_total=rest_total,
+            rest_lam=rest_lam, theta_prev=theta_now,
+            stall_count=stall_count,
             it=st.it + 1, status=status, done=done,
             accept_count=accept_count,
             obj_history=obj_history, inf_pr=inf_pr, inf_du=inf_du,
@@ -737,6 +773,9 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         in_rest=jnp.asarray(False),
         rest_theta=jnp.asarray(0.0, dtype),
         rest_total=jnp.asarray(0, jnp.int32),
+        rest_lam=jnp.asarray(1e-6, dtype),
+        theta_prev=jnp.asarray(jnp.inf, dtype),
+        stall_count=jnp.asarray(0, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(MAXIMUM_ITERATIONS_EXCEEDED, jnp.int32),
         done=jnp.asarray(False),

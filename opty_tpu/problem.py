@@ -238,20 +238,39 @@ class Problem:
     # solving
     # ------------------------------------------------------------------
     def _build_solver(self):
-        fns = make_collocation_nlp_functions(
-            self.collocator, self._obj_fn, self._obj_grad_fn)
         options = self._ipm_options
+        col = self.collocator
+        obj_fn, grad_fn = self._obj_fn, self._obj_grad_fn
         lb = jnp.asarray(self.lower_bound, self._dtype)
         ub = jnp.asarray(self.upper_bound, self._dtype)
         cl = jnp.asarray(self._low_con_bounds, self._dtype)
         cu = jnp.asarray(self._upp_con_bounds, self._dtype)
 
+        def unscale(res, sf, dsc):
+            """Map the scaled-NLP result back to user units (the x
+            iterate is unaffected by scaling)."""
+            return res._replace(
+                obj_val=res.obj_val / sf,
+                g=res.g / dsc,
+                mult_g=res.mult_g * dsc / sf,
+                mult_x_L=res.mult_x_L / sf,
+                mult_x_U=res.mult_x_U / sf,
+                obj_history=res.obj_history / sf)
+
         def run_warm(free, y0, zl0, zu0):
-            return solve_ipm(fns, free, lb, ub, cl, cu, options=options,
-                             y0=y0, zL0=zl0, zU0=zu0)
+            fns, (sf, dsc) = make_collocation_nlp_functions(
+                col, obj_fn, grad_fn, scale_from=free)
+            res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                            options=options, y0=y0 * sf / dsc,
+                            zL0=zl0 * sf, zU0=zu0 * sf)
+            return unscale(res, sf, dsc)
 
         def run_cold(free):
-            return solve_ipm(fns, free, lb, ub, cl, cu, options=options)
+            fns, (sf, dsc) = make_collocation_nlp_functions(
+                col, obj_fn, grad_fn, scale_from=free)
+            res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                            options=options)
+            return unscale(res, sf, dsc)
 
         if options.debug:
             return run_warm, run_cold
@@ -291,16 +310,25 @@ class Problem:
         (examples/inverted_pendulum/run_a_bunch.py).
         """
         if self._batch_solver is None:
-            fns = make_collocation_nlp_functions(
-                self.collocator, self._obj_fn, self._obj_grad_fn)
             options = self._ipm_options
+            col = self.collocator
+            obj_fn, grad_fn = self._obj_fn, self._obj_grad_fn
             lb = jnp.asarray(self.lower_bound, self._dtype)
             ub = jnp.asarray(self.upper_bound, self._dtype)
             cl = jnp.asarray(self._low_con_bounds, self._dtype)
             cu = jnp.asarray(self._upp_con_bounds, self._dtype)
 
             def run_one(free):
-                return solve_ipm(fns, free, lb, ub, cl, cu, options=options)
+                fns, (sf, dsc) = make_collocation_nlp_functions(
+                    col, obj_fn, grad_fn, scale_from=free)
+                res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                                options=options)
+                return res._replace(
+                    obj_val=res.obj_val / sf, g=res.g / dsc,
+                    mult_g=res.mult_g * dsc / sf,
+                    mult_x_L=res.mult_x_L / sf,
+                    mult_x_U=res.mult_x_U / sf,
+                    obj_history=res.obj_history / sf)
 
             self._batch_solver = jax.jit(jax.vmap(run_one))
         free_batch = jnp.asarray(np.asarray(free_batch, dtype=np.float64),
