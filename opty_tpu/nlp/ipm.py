@@ -277,11 +277,15 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         return g, c, Jty
     def project_interior(xt, st_):
         """Project a trial point into the strict interior of the
-        bounds (used by the restoration phase)."""
+        bounds (used by the restoration phase).  The margin is kept at
+        a healthy 1e-3 relative width: restoration must not pin
+        variables (e.g. actuator bounds) to the boundary, or the
+        subsequent IPM iterations lose all control authority and the
+        recentered bound multipliers blow up."""
         xt = jnp.where(fixed, xl, _push_inside(
-            xt, xl, xu, has_xl, has_xu, 1e-9, 1e-9))
+            xt, xl, xu, has_xl, has_xu, 1e-3, 1e-3))
         st_ = jnp.where(eq, cl, _push_inside(
-            st_, cl, cu, has_sl, has_su, 1e-9, 1e-9))
+            st_, cl, cu, has_sl, has_su, 1e-3, 1e-3))
         return xt, st_
 
     def restoration_step(x, s, lam):
@@ -354,7 +358,11 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                           jnp.maximum(lam * 0.33, 1e-10),
                           jnp.where(use_gn, lam, jnp.minimum(lam * 10.0,
                                                              1e6)))
-        return x_n, s_n, reduced, lam_n
+        # first-order certificate of the feasibility problem: the
+        # projected gradient of 0.5||c - s||^2 (used to distinguish
+        # genuine local infeasibility from slow restoration progress)
+        feas_grad = jnp.sqrt(gnorm2)
+        return x_n, s_n, reduced, lam_n, feas_grad
 
     # ---- main loop ------------------------------------------------------
     def cond(st: _State):
@@ -631,12 +639,12 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             # -- restoration triggers ------------------------------------
             # (a) line search failed; (b) theta stagnates far from
             # feasibility; (c) duals blow up (degenerate subproblem)
-            stall = (theta0 > 1e2 * theta_min) & \
-                (theta0 > 0.997 * st.theta_prev)
+            stall = (theta0 > 1e3 * theta_min) & \
+                (theta0 > 0.9995 * st.theta_prev)
             stall_count = jnp.where(accepted & stall,
                                     st.stall_count + 1, 0)
             y_blown = jnp.max(jnp.abs(y_n)) > 1e10
-            enter_rest = ((~accepted) | (stall_count >= 10) | y_blown) \
+            enter_rest = ((~accepted) | (stall_count >= 25) | y_blown) \
                 & (theta0 > theta_min)
             # on entry reset the equality multipliers (they are
             # re-estimated after restoration)
@@ -652,17 +660,24 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         # branch 2: feasibility restoration step
         # ================================================================
         def rest_branch(_):
-            x_r, s_r, reduced, lam_n = restoration_step(x, s, st.rest_lam)
+            x_r, s_r, reduced, lam_n, feas_grad = restoration_step(
+                x, s, st.rest_lam)
             theta_r = jnp.sum(jnp.abs(fns.constraints(x_r) - s_r))
-            exit_now = ((theta_r <= jnp.maximum(
-                opt.rest_reduction * st.rest_theta, theta_min))
-                | (theta_r <= opt.tol))
-            # local-infeasibility detection: restoration makes no
-            # relative progress on theta for many steps in a row
+            # local-infeasibility certificate: the feasibility problem
+            # is first-order stationary at theta > 0
+            certified = (feas_grad <= 1e-6 * jnp.maximum(1.0, theta_r)) \
+                & (theta_r > theta_min)
             no_prog = theta_r > 0.9999 * theta_now
             stall_r = jnp.where(no_prog, st.stall_count + 1,
                                 jnp.asarray(0, jnp.int32))
-            rest_failed = ((~reduced) | (stall_r >= 15)) & (~exit_now)
+            stuck = (~reduced) | (stall_r >= 15)
+            # exit on success, or force exit back to the IPM when
+            # restoration stalls without an infeasibility certificate
+            exit_now = ((theta_r <= jnp.maximum(
+                opt.rest_reduction * st.rest_theta, theta_min))
+                | (theta_r <= opt.tol)
+                | (stuck & ~certified))
+            rest_failed = stuck & certified
 
             dLx_e = jnp.where(mL, x_r - xl, 1.0)
             dUx_e = jnp.where(mU, xu - x_r, 1.0)

@@ -1,0 +1,185 @@
+"""End-to-end Problem tests on reference benchmark configurations.
+
+These are the round-trip solves that the reference validates through
+Ipopt (SURVEY.md section 6 benchmark table); node counts are reduced
+where possible to keep CPU test time reasonable.
+"""
+
+import numpy as np
+import sympy as sm
+import jax.numpy as jnp
+import pytest
+
+from opty_tpu import Problem, create_objective_function
+
+
+def build_pendulum(num_nodes=501, duration=10.0, tmax=2.0):
+    interval = duration / (num_nodes - 1)
+    I, m, g, d, t = sm.symbols('I, m, g, d, t')
+    theta, omega, T = sm.symbols('theta, omega, T', cls=sm.Function)
+    state_symbols = (theta(t), omega(t))
+    eom = sm.Matrix([theta(t).diff() - omega(t),
+                     I * omega(t).diff() + m * g * d * sm.sin(theta(t))
+                     - T(t)])
+    obj, obj_grad = create_objective_function(
+        sm.Integral(T(t) ** 2, t), state_symbols, (T(t),), tuple(),
+        num_nodes, interval, time_symbol=t)
+    instance_constraints = (theta(0.0), theta(duration) - np.pi,
+                            omega(0.0), omega(duration))
+    prob = Problem(obj, obj_grad, eom, state_symbols, num_nodes, interval,
+                   known_parameter_map={I: 1.0, m: 1.0, g: 9.81, d: 1.0},
+                   instance_constraints=instance_constraints,
+                   bounds={T(t): (-tmax, tmax)}, time_symbol=t)
+    return prob
+
+
+class TestPendulumSwingUp:
+    """plot_pendulum_swing_up_fixed_duration.py:38-97 analog."""
+
+    def test_solves_to_tolerance(self):
+        prob = build_pendulum()
+        np.random.seed(7)
+        x0 = np.random.randn(prob.num_free)
+        sol, info = prob.solve(x0)
+        assert info['status'] == 0
+        assert info['inf_pr'] < 1e-8
+        N = prob.collocator.num_collocation_nodes
+        theta = sol[:N]
+        np.testing.assert_allclose(theta[0], 0.0, atol=1e-7)
+        np.testing.assert_allclose(theta[-1], np.pi, atol=1e-7)
+        # torque bounds respected
+        T_vals = sol[2 * N:3 * N]
+        assert np.max(np.abs(T_vals)) <= 2.0 + 1e-8
+        # constraint residuals essentially zero
+        assert np.max(np.abs(prob.con(sol))) < 1e-7
+        # objective history recorded
+        assert len(prob.obj_value) == info['iterations']
+
+    def test_warm_start(self):
+        prob = build_pendulum()
+        np.random.seed(7)
+        x0 = np.random.randn(prob.num_free)
+        sol, info = prob.solve(x0)
+        sol2, info2 = prob.solve(sol, lagrange=info['mult_g'],
+                                 zl=info['mult_x_L'], zu=info['mult_x_U'])
+        assert info2['status'] in (0, 1)
+        assert info2['iterations'] <= info['iterations']
+        np.testing.assert_allclose(sol2, sol, rtol=0, atol=1e-3)
+
+
+class TestParameterIdentification:
+    """examples/vyasarayani2011.py analog (midpoint, unknown p)."""
+
+    def test_identifies_parameter(self):
+        from scipy.integrate import odeint
+        p, t = sm.symbols('p, t')
+        y1, y2 = [f(t) for f in sm.symbols('y1, y2', cls=sm.Function)]
+        eom = sm.Matrix([y1.diff(t) - y2,
+                         y2.diff(t) + p * sm.sin(y1)])
+        duration = 25.0
+        num_nodes = 1000
+        interval = duration / (num_nodes - 1)
+        tv = np.linspace(0.0, duration, num=num_nodes)
+        np.random.seed(11)
+        y_meas = odeint(lambda yy, tt: np.array(
+            [yy[1], -10.0 * np.sin(yy[0])]), [np.pi / 6, 0.0], tv)
+        y1_meas = y_meas[:, 0] + np.random.normal(scale=0.02,
+                                                  size=num_nodes)
+        y1j = jnp.asarray(y1_meas)
+
+        def obj(free):
+            return interval * jnp.sum((y1j - free[:num_nodes]) ** 2)
+
+        prob = Problem(obj, None, eom, (y1, y2), num_nodes, interval,
+                       time_symbol=t, integration_method='midpoint')
+        x0 = np.hstack([y1_meas, np.gradient(y1_meas, interval), 30.0])
+        sol, info = prob.solve(x0)
+        assert info['status'] == 0
+        np.testing.assert_allclose(sol[-1], 10.0, rtol=1e-2)
+
+
+class TestVariableDuration:
+    """plot_pendulum_swing_up_variable_duration.py analog, smaller N."""
+
+    def test_variable_h(self):
+        # N = 501 is the actual benchmark config
+        # (coarser grids put this problem at the edge of feasibility:
+        # backward-Euler damping vs the tight torque bound)
+        target_angle = np.pi
+        num_nodes = 501
+        m, g, d, t, h = sm.symbols('m, g, d, t, h', real=True)
+        theta, omega, T = sm.symbols('theta, omega, T', cls=sm.Function)
+        state_symbols = (theta(t), omega(t))
+        eom = sm.Matrix([theta(t).diff() - omega(t),
+                         m * d ** 2 * omega(t).diff()
+                         + m * g * d * sm.sin(theta(t)) - T(t)])
+
+        def obj(prob, free):
+            _, T_vals, _, h_val = prob.parse_free(free)
+            return h_val * jnp.sum(T_vals ** 2)
+
+        instance_constraints = (theta(0 * h),
+                                theta((num_nodes - 1) * h) - target_angle,
+                                omega(0 * h),
+                                omega((num_nodes - 1) * h))
+        prob = Problem(obj, None, eom, state_symbols, num_nodes, h,
+                       known_parameter_map={m: 1.0, g: 9.81, d: 1.0},
+                       instance_constraints=instance_constraints,
+                       time_symbol=t,
+                       bounds={T(t): (-2.0, 2.0), h: (0.0, 0.5)})
+        prob.set_solver_options(max_iter=2000)
+        np.random.seed(2)
+        x0 = np.random.randn(prob.num_free) * 0.01
+        x0[-1] = 0.01
+        sol, info = prob.solve(x0)
+        assert info['status'] == 0
+        h_val = sol[-1]
+        assert 0.0 < h_val < 0.5
+        theta_vals = sol[:num_nodes]
+        np.testing.assert_allclose(theta_vals[-1], np.pi, atol=1e-6)
+
+
+class TestEomBounds:
+    """Path inequality via eom_bounds (particle_in_tube pattern,
+    opty/direct_collocation.py:168-179, :370-386)."""
+
+    def test_inequality_rows(self):
+        # x' = v; v' = u (double integrator); an extra algebraic eom
+        # row  x - margin  constrained to [0, inf) keeps x >= margin.
+        x, v, u = [sm.Function(s)(sm.Symbol('t')) for s in 'xvu']
+        t = sm.Symbol('t')
+        eom = sm.Matrix([x.diff(t) - v,
+                         v.diff(t) - u,
+                         x - 0.5])
+        N = 51
+        duration = 2.0
+        interval = duration / (N - 1)
+        obj, obj_grad = create_objective_function(
+            sm.Integral(u ** 2, t), (x, v), (u,), tuple(), N, interval,
+            time_symbol=t)
+        instance_constraints = (x.subs(t, 0.0) - 2.0,
+                                x.subs(t, duration) - 2.0,
+                                v.subs(t, 0.0) + 3.0)
+        prob = Problem(obj, obj_grad, eom, (x, v), N, interval,
+                       instance_constraints=instance_constraints,
+                       eom_bounds={2: (0.0, np.inf)},
+                       time_symbol=t)
+        np.random.seed(3)
+        x0 = np.random.randn(prob.num_free) * 0.1
+        x0[:N] = 2.0
+        sol, info = prob.solve(x0)
+        assert info['status'] == 0
+        xs = sol[:N]
+        assert np.min(xs) >= 0.5 - 1e-6   # path constraint held
+        np.testing.assert_allclose(xs[0], 2.0, atol=1e-7)
+
+
+class TestBatchSolve:
+    def test_multi_start(self):
+        prob = build_pendulum(num_nodes=101, tmax=20.0)
+        rng = np.random.default_rng(0)
+        batch = rng.normal(size=(4, prob.num_free))
+        res = prob.solve_batch(batch)
+        assert res.x.shape == (4, prob.num_free)
+        # at least some of the loose-torque starts must converge
+        assert np.sum(np.asarray(res.status) == 0) >= 2
