@@ -14,9 +14,24 @@ iterative refinement in ``refine_dtype``.  On CPU both default to
 float64 and refinement is a no-op.
 """
 
+import os
+
 import jax
 
 jax.config.update('jax_enable_x64', True)
+
+# Persistent XLA compilation cache: the analog of the reference's
+# sha256-keyed compiled-kernel cache (opty/utils.py:759-770, 824-864),
+# but covering the entire solver program.  Especially valuable on TPU
+# where compilation goes through a remote compile service.
+_cache_dir = os.environ.get('OPTY_TPU_CACHE',
+                            os.path.expanduser('~/.cache/opty_tpu_xla'))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -64,7 +64,7 @@ def compute_scaling(col, gradient, x0):
 
 
 def make_collocation_nlp_functions(col, objective, gradient=None,
-                                   factor_dtype=None, refine_steps=1,
+                                   factor_dtype=None, refine_steps=None,
                                    scale_from=None):
     """IPMFunctions for a collocation problem.
 
@@ -90,6 +90,10 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
     dtype = col._dtype
     if factor_dtype is None:
         factor_dtype = default_factor_dtype()
+    if refine_steps is None:
+        # mixed-precision factorization needs more refinement rounds
+        refine_steps = 1 if jnp.dtype(factor_dtype) == jnp.dtype(dtype) \
+            else 3
 
     struct_hess = make_structured_scalar_hessian(N, n, q, bw, dtype)
     grad_fn = gradient if gradient is not None else jax.grad(objective)

@@ -69,6 +69,8 @@ class KKTFactorization(NamedTuple):
     Ft: jnp.ndarray         # (N, d, b) eliminated border columns
     E: jnp.ndarray          # (N, d, d) original sub-diagonal blocks
     Kbb_schur_inv: jnp.ndarray  # (b, b) inverse of the border Schur complement
+    scale_nodes: jnp.ndarray    # (N, d) Jacobi equilibration scales
+    scale_border: jnp.ndarray   # (b,)
 
 
 def _assemble_node_blocks(blocks: KKTBlocks):
@@ -105,12 +107,45 @@ def _assemble_node_blocks(blocks: KKTBlocks):
     return D, E, F, Kbb
 
 
+def _equilibrate(D, E, F, Kbb):
+    """Symmetric Jacobi scaling of the assembled KKT blocks.
+
+    The IPM diagonal spans many orders of magnitude (barrier terms
+    Sigma ~ mu/d^2 near active bounds), which destroys a float32
+    factorization long before the f64 operator degrades.  Scaling by
+    s_i = 1/sqrt(|K_ii|) compresses the dynamic range so the f32
+    factorization plus f64 iterative refinement stays accurate at
+    Ipopt-level tolerances — the same role dynamic scaling plays
+    inside Ipopt's sparse solvers.
+    """
+    diag_nodes = jnp.abs(jax.vmap(jnp.diag)(D))              # (N, d)
+    diag_border = jnp.abs(jnp.diagonal(Kbb))                 # (b,)
+    big = jnp.maximum(jnp.max(diag_nodes), 1.0)
+    floor = 1e-12 * big
+
+    def inv_sqrt(v):
+        return 1.0 / jnp.sqrt(jnp.maximum(v, floor))
+
+    sn = inv_sqrt(diag_nodes)
+    sb = inv_sqrt(diag_border) if diag_border.size else diag_border
+    D = D * sn[:, :, None] * sn[:, None, :]
+    sn_prev = jnp.concatenate([sn[:1], sn[:-1]], axis=0)
+    E = E * sn[:, :, None] * sn_prev[:, None, :]
+    F = F * sn[:, :, None] * sb[None, None, :]
+    Kbb = Kbb * sb[:, None] * sb[None, :]
+    return D, E, F, Kbb, sn, sb
+
+
 def factor_kkt(blocks: KKTBlocks, factor_dtype=None) -> KKTFactorization:
     """Block-tridiagonal forward elimination with border Schur
     accumulation.  RHS-independent; reuse across refinement solves."""
-    if factor_dtype is not None:
-        blocks = KKTBlocks(*[x.astype(factor_dtype) for x in blocks])
     D, E, F, Kbb = _assemble_node_blocks(blocks)
+    D, E, F, Kbb, sn, sb = _equilibrate(D, E, F, Kbb)
+    if factor_dtype is not None:
+        D = D.astype(factor_dtype)
+        E = E.astype(factor_dtype)
+        F = F.astype(factor_dtype)
+        Kbb = Kbb.astype(factor_dtype)
     N, d, _ = D.shape
     b = F.shape[2]
     eye = jnp.eye(d, dtype=D.dtype)
@@ -134,16 +169,19 @@ def factor_kkt(blocks: KKTBlocks, factor_dtype=None) -> KKTFactorization:
                                          jnp.eye(b, dtype=D.dtype))
     else:
         Kbb_schur_inv = jnp.zeros((0, 0), D.dtype)
-    return KKTFactorization(S_inv, Melim, Ft, E, Kbb_schur_inv)
+    return KKTFactorization(S_inv, Melim, Ft, E, Kbb_schur_inv, sn, sb)
 
 
 def solve_factored(fac: KKTFactorization, r_nodes, r_border):
-    """Solve with a precomputed factorization.  r_nodes (N, d)."""
+    """Solve with a precomputed factorization.  r_nodes (N, d).
+
+    The rhs/solution are transformed through the equilibration scales
+    (K = S^-1 K~ S^-1  =>  u = S K~^-1 S r)."""
     N, d, _ = fac.S_inv.shape
     b = fac.Ft.shape[2]
     dtype = fac.S_inv.dtype
-    r_nodes = r_nodes.astype(dtype)
-    r_border = r_border.astype(dtype)
+    r_nodes = (r_nodes * fac.scale_nodes).astype(dtype)
+    r_border = (r_border * fac.scale_border).astype(dtype)
 
     def fwd(rt_prev, inp):
         Mk, S_inv_k, Ftk, rk = inp
@@ -172,7 +210,7 @@ def solve_factored(fac: KKTFactorization, r_nodes, r_border):
 
     _, u = jax.lax.scan(bwd, jnp.zeros((d,), dtype),
                         (fac.S_inv, fac.Ft, rt, E_next), reverse=True)
-    return u, beta
+    return u * fac.scale_nodes, beta * fac.scale_border
 
 
 def kkt_matvec(blocks: KKTBlocks, u, beta):

@@ -102,6 +102,7 @@ class Problem:
         self._extraction_indices = self._generate_extraction_indices()
 
         self._ipm_options = IPMOptions()
+        self._factor_dtype = None
         self._solver = None
         self._batch_solver = None
         self.obj_value = []
@@ -228,8 +229,14 @@ class Problem:
             self._batch_solver = None
         # silently accepted: output/print options have no meaning here
 
-    def set_solver_options(self, **kwargs):
-        """Directly set IPMOptions fields (native configuration API)."""
+    def set_solver_options(self, factor_dtype=None, **kwargs):
+        """Directly set IPMOptions fields (native configuration API).
+
+        ``factor_dtype`` selects the KKT factorization precision
+        (defaults to f64 on CPU, f32 + iterative refinement on TPU).
+        """
+        if factor_dtype is not None:
+            self._factor_dtype = factor_dtype
         self._ipm_options = self._ipm_options._replace(**kwargs)
         self._solver = None
         self._batch_solver = None
@@ -259,7 +266,8 @@ class Problem:
 
         def run_warm(free, y0, zl0, zu0):
             fns, (sf, dsc) = make_collocation_nlp_functions(
-                col, obj_fn, grad_fn, scale_from=free)
+                col, obj_fn, grad_fn, scale_from=free,
+                factor_dtype=self._factor_dtype)
             res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
                             options=options, y0=y0 * sf / dsc,
                             zL0=zl0 * sf, zU0=zu0 * sf)
@@ -267,7 +275,8 @@ class Problem:
 
         def run_cold(free):
             fns, (sf, dsc) = make_collocation_nlp_functions(
-                col, obj_fn, grad_fn, scale_from=free)
+                col, obj_fn, grad_fn, scale_from=free,
+                factor_dtype=self._factor_dtype)
             res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
                             options=options)
             return unscale(res, sf, dsc)
@@ -320,7 +329,8 @@ class Problem:
 
             def run_one(free):
                 fns, (sf, dsc) = make_collocation_nlp_functions(
-                    col, obj_fn, grad_fn, scale_from=free)
+                    col, obj_fn, grad_fn, scale_from=free,
+                    factor_dtype=self._factor_dtype)
                 res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
                                 options=options)
                 return res._replace(
