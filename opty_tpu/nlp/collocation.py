@@ -151,7 +151,10 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
             Gw = jnp.zeros((0, bw), dtype)
         return Gz, Gw
 
-    def kkt_solve(x, y, sigma_x, ds, rx, rc):
+    def kkt_prepare(x, y):
+        """Per-iteration block construction: scaled Jacobian blocks
+        plus the exact Lagrangian Hessian blocks at (x, y).  Shared by
+        the direction trials, SOC re-solves and restoration."""
         y_nodes, y_inst = split_con(y)
 
         A, B, C, G = col.jacobian_blocks(x)
@@ -173,14 +176,6 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
             return val
 
         Hd2, Ho2, Hw2, Hww2 = struct_hess(phi, x)
-        Hd = Hd + Hd2
-        Ho = Ho + Ho2
-        Hw = Hw + Hw2
-        Hww = Hww + Hww2
-
-        sz, sw = split_free(sigma_x)
-        Hd = Hd + jax.vmap(jnp.diag)(sz)
-        Hww = Hww + jnp.diag(sw)
 
         # constraint block k couples z_{k-1}, z_k (k = 1..N-1):
         # backward Euler interval i: cur = i+1 (= k), adj = i (= k-1)
@@ -188,21 +183,22 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         P = jnp.zeros((N, M, nz), dtype).at[1:].set(A if be else B)
         Q = jnp.zeros((N, M, nz), dtype).at[1:].set(B if be else A)
         Cn = jnp.zeros((N, M, bw), dtype).at[1:].set(C)
-
-        ds_nodes, ds_inst = split_con(ds)
-        Ds = jnp.ones((N, M), dtype).at[1:].set(ds_nodes)
-
         Gz, Gw = split_instance_jac(G)
 
-        blocks = KKTBlocks(Hd=Hd, Ho=Ho, Hw=Hw, Hww=Hww, P=P, Q=Q, C=Cn,
-                           Ds=Ds, Gz=Gz, Gw=Gw, Di=ds_inst)
+        return dict(Hd=Hd + Hd2, Ho=Ho + Ho2, Hw=Hw + Hw2,
+                    Hww=Hww + Hww2, P=P, Q=Q, Cn=Cn, Gz=Gz, Gw=Gw)
 
+    def _solve_with(Hd, Ho, Hw, Hww, prep, ds, rx, rc):
+        ds_nodes, ds_inst = split_con(ds)
+        Ds = jnp.ones((N, M), dtype).at[1:].set(ds_nodes)
+        blocks = KKTBlocks(Hd=Hd, Ho=Ho, Hw=Hw, Hww=Hww, P=prep['P'],
+                           Q=prep['Q'], C=prep['Cn'], Ds=Ds,
+                           Gz=prep['Gz'], Gw=prep['Gw'], Di=ds_inst)
         rz, rw = split_free(rx)
         rc_nodes, rc_inst = split_con(rc)
         ry = jnp.zeros((N, M), dtype).at[1:].set(rc_nodes)
         r_nodes = jnp.concatenate([rz, ry], axis=1)
         r_border = jnp.concatenate([rw, rc_inst])
-
         u, beta = solve_structured_kkt(blocks, r_nodes, r_border,
                                        factor_dtype=factor_dtype,
                                        refine_steps=refine_steps)
@@ -210,6 +206,29 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         dy = join_con(u[1:, nz:], beta[bw:])
         return dx, dy
 
+    def kkt_solve(prep, sigma_x, ds, rx, rc):
+        sz, sw = split_free(sigma_x)
+        Hd = prep['Hd'] + jax.vmap(jnp.diag)(sz)
+        Hww = prep['Hww'] + jnp.diag(sw)
+        return _solve_with(Hd, prep['Ho'], prep['Hw'], Hww, prep, ds,
+                           rx, rc)
+
+    def kkt_solve_feasibility(prep, sigma_x, rc):
+        """Damped Gauss-Newton feasibility step: the Hessian is
+        replaced by the LM diagonal, the Jacobian blocks are reused
+        from ``prep``, and every row gets unit slack diagonal
+        ((J^T J + lam) dx = -J^T r in augmented form)."""
+        sz, sw = split_free(sigma_x)
+        Hd = jax.vmap(jnp.diag)(sz)
+        Ho = jnp.zeros_like(prep['Ho'])
+        Hw = jnp.zeros_like(prep['Hw'])
+        Hww = jnp.diag(sw)
+        ds = jnp.ones((col.num_constraints,), dtype)
+        rx = jnp.zeros((col.num_free,), dtype)
+        return _solve_with(Hd, Ho, Hw, Hww, prep, ds, rx, rc)
+
     fns = IPMFunctions(objective=objective_s, gradient=gradient_s,
-                       constraints=constraints_s, kkt_solve=kkt_solve)
+                       constraints=constraints_s, kkt_prepare=kkt_prepare,
+                       kkt_solve=kkt_solve,
+                       kkt_solve_feasibility=kkt_solve_feasibility)
     return fns, (sf, dsc_full)

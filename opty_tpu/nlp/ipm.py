@@ -44,7 +44,8 @@ from .status import (INFEASIBLE_PROBLEM_DETECTED, INVALID_NUMBER_DETECTED,
 __all__ = ['IPMOptions', 'IPMFunctions', 'IPMResult', 'solve_ipm',
            'make_nlp_functions_dense']
 
-_BIG_SIGMA = 1e40
+_BIG_SIGMA = 1e30  # must stay inside float32 exponent range: TPU f64
+                   # emulation (float-float) overflows beyond ~1e38
 _FILTER_SIZE = 64
 
 
@@ -87,18 +88,24 @@ class IPMOptions(NamedTuple):
 class IPMFunctions(NamedTuple):
     """Problem callbacks.  All must be JAX-traceable.
 
-    kkt_solve(x, y, sigma_x, ds, rx, rc) solves the condensed
-    primal-dual system
+    ``kkt_prepare(x, y)`` builds the iteration-constant data (Jacobian
+    and Lagrangian-Hessian blocks); ``kkt_solve(prep, sigma_x, ds, rx,
+    rc)`` then solves the condensed primal-dual system
 
         [[H(x, y) + diag(sigma_x), J(x)^T], [J(x), -diag(ds)]]
             [dx; dy] = [rx; rc]
 
-    where H is the Lagrangian Hessian.
+    reusing ``prep`` across regularization retries and second-order
+    corrections.  ``kkt_solve_feasibility(prep, sigma_x, rc)`` solves
+    the damped Gauss-Newton system for the restoration phase
+    ([[diag(sigma_x), J^T], [J, -I]]).
     """
     objective: Callable[[Any], Any]
     gradient: Callable[[Any], Any]
     constraints: Callable[[Any], Any]
+    kkt_prepare: Callable[..., Any]
     kkt_solve: Callable[..., Any]
+    kkt_solve_feasibility: Callable[..., Any]
 
 
 class IPMResult(NamedTuple):
@@ -236,7 +243,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         dUs = jnp.where(msU, cu - s, 1.0)
         ok = (jnp.all(dLx > 0) & jnp.all(dUx > 0) & jnp.all(dLs > 0)
               & jnp.all(dUs > 0))
-        safe_log = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-300)))
+        safe_log = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
         bar = safe_log(dLx) + safe_log(dUx) + safe_log(dLs) + safe_log(dUs)
         theta = jnp.sum(jnp.abs(fns.constraints(x) - s))
         phi = fns.objective(x) - mu * bar
@@ -288,24 +295,23 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             st_, cl, cu, has_sl, has_su, 1e-3, 1e-3))
         return xt, st_
 
-    def restoration_step(x, s, lam):
+    def restoration_step(prep, x, s, lam):
         """One damped Gauss-Newton step on R = 0.5 ||c(x) - s||^2.
 
-        Reuses the structured KKT solve with zero multipliers and a
-        Levenberg-Marquardt diagonal:  [[lam I, J^T], [J, -I]] is the
-        augmented form of  (J^T J + lam I) dx = -J^T r,  with the
-        inequality-row slacks absorbing their residual component.
-        Falls back to a projected Cauchy step when GN fails.  This is
-        the strong feasibility-restoration analog of Ipopt's
-        restoration NLP, sharing the banded factorization.
+        Reuses the prepared Jacobian blocks with a Levenberg-Marquardt
+        diagonal:  [[lam I, J^T], [J, -I]] is the augmented form of
+        (J^T J + lam I) dx = -J^T r,  with the inequality-row slacks
+        absorbing their residual component.  Falls back to a projected
+        Cauchy step when GN fails.  This is the strong
+        feasibility-restoration analog of Ipopt's restoration NLP,
+        sharing the banded factorization.
         """
         c_r, vjp_r = jax.vjp(fns.constraints, x)
         r = c_r - s
         R0 = 0.5 * jnp.dot(r, r)
 
         sigma_r = jnp.where(fixed, _BIG_SIGMA, lam)
-        dxr, dyr = fns.kkt_solve(x, jnp.zeros_like(r), sigma_r,
-                                 jnp.ones_like(r), jnp.zeros_like(x), -r)
+        dxr, dyr = fns.kkt_solve_feasibility(prep, sigma_r, -r)
         dxr = jnp.where(fixed, 0.0, dxr)
         # slack step: inequality rows absorb their linearized residual
         dsr = jnp.where(eq, 0.0, dyr)
@@ -320,7 +326,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         Jgx = jax.jvp(fns.constraints, (x,), (gx,))[1]
         rho_dir = Jgx - gs
         denom = jnp.dot(rho_dir, rho_dir)
-        a_c = jnp.where(denom > 1e-300, gnorm2 / denom, 1.0)
+        a_c = jnp.where(denom > 1e-30, gnorm2 / denom, 1.0)
         dx_c = -a_c * gx
         ds_c = -a_c * gs
 
@@ -399,6 +405,10 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
 
         theta_now = jnp.sum(jnp.abs(c - s))
 
+        # iteration-constant KKT data (Jacobian + Hessian blocks),
+        # shared by direction retries, SOC and restoration
+        prep = fns.kkt_prepare(x, y)
+
         # ================================================================
         # branch 1: regular filter-IPM step
         # ================================================================
@@ -421,7 +431,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             free_row = ~eq & ~msL & ~msU
             Ds = jnp.where(eq, 0.0,
                            jnp.where(free_row, _BIG_SIGMA,
-                                     1.0 / jnp.maximum(sigma_s, 1e-300)))
+                                     1.0 / jnp.maximum(sigma_s, 1e-30)))
 
             rx = -(g + Jty - mu * iLx + mu * iUx)
             rx = jnp.where(fixed, 0.0, rx)
@@ -435,7 +445,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 return fns.gradient(xx) + vj(y)[0]
 
             def compute_dir(delta_w, delta_c):
-                dxx, dyy = fns.kkt_solve(x, y, sigma_x + delta_w,
+                dxx, dyy = fns.kkt_solve(prep, sigma_x + delta_w,
                                          Ds + delta_c, rx, rc)
                 dxx = jnp.where(fixed, 0.0, dxx)
                 dss = Ds * (dyy + rhs_s)
@@ -499,12 +509,12 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             amin_sw = jnp.minimum(
                 opt.gamma_theta,
                 jnp.minimum(
-                    opt.gamma_phi * theta0 / jnp.maximum(-Dphi, 1e-300),
+                    opt.gamma_phi * theta0 / jnp.maximum(-Dphi, 1e-30),
                     opt.delta_switch * theta0 ** opt.s_theta
-                    / jnp.maximum((-Dphi) ** opt.s_phi, 1e-300)))
+                    / jnp.maximum((-Dphi) ** opt.s_phi, 1e-30)))
             amin_ne = jnp.minimum(opt.gamma_theta,
                                   opt.gamma_phi * theta0
-                                  / jnp.maximum(-Dphi, 1e-300))
+                                  / jnp.maximum(-Dphi, 1e-30))
             alpha_min = opt.gamma_alpha * jnp.where(
                 neg & (theta0 <= theta_min), amin_sw,
                 jnp.where(neg, amin_ne, opt.gamma_theta))
@@ -548,7 +558,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                            - (s + a_pr_max * ds))
                 c_soc = a_pr_max * (c - s) + r_trial
                 rc_soc = -c_soc + Ds * rhs_s
-                dxx, dyy = fns.kkt_solve(x, y, sigma_x + delta_w_used,
+                dxx, dyy = fns.kkt_solve(prep, sigma_x + delta_w_used,
                                          Ds + delta_c, rx, rc_soc)
                 dxx = jnp.where(fixed, 0.0, dxx)
                 dss = Ds * (dyy + rhs_s)
@@ -661,7 +671,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         # ================================================================
         def rest_branch(_):
             x_r, s_r, reduced, lam_n, feas_grad = restoration_step(
-                x, s, st.rest_lam)
+                prep, x, s, st.rest_lam)
             theta_r = jnp.sum(jnp.abs(fns.constraints(x_r) - s_r))
             # local-infeasibility certificate: the feasibility problem
             # is first-order stationary at theta > 0
@@ -715,8 +725,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         dUs_n = jnp.where(msU, cu - s_n, 1.0)
         kS = opt.kappa_sigma
         clipz = lambda z, d, mk: jnp.where(
-            mk, jnp.clip(z, mu / (kS * jnp.maximum(d, 1e-300)),
-                         kS * mu / jnp.maximum(d, 1e-300)), 0.0)
+            mk, jnp.clip(z, mu / (kS * jnp.maximum(d, 1e-30)),
+                         kS * mu / jnp.maximum(d, 1e-30)), 0.0)
         zL_n = clipz(zL_n, dLx_n, mL)
         zU_n = clipz(zU_n, dUx_n, mU)
         wL_n = clipz(wL_n, dLs_n, msL)
@@ -835,16 +845,16 @@ def make_nlp_functions_dense(objective, constraints,
     grad = jax.grad(objective)
     jac = jax.jacrev(constraints)
 
-    def kkt_solve(x, y, sigma_x, ds, rx, rc):
-        n = x.shape[0]
-        m = rc.shape[0]
-        dtype = x.dtype
-
+    def kkt_prepare(x, y):
         def lag(xx):
             return objective(xx) + jnp.dot(y, constraints(xx))
 
-        H = jax.hessian(lag)(x)
-        J = jac(x)
+        return jax.hessian(lag)(x), jac(x)
+
+    def _dense_solve(H, J, sigma_x, ds, rx, rc):
+        n = rx.shape[0]
+        m = rc.shape[0]
+        dtype = rx.dtype
         K = jnp.zeros((n + m, n + m), dtype)
         K = K.at[:n, :n].set(H + jnp.diag(sigma_x))
         K = K.at[:n, n:].set(J.T)
@@ -853,5 +863,17 @@ def make_nlp_functions_dense(objective, constraints,
         sol = jnp.linalg.solve(K, jnp.concatenate([rx, rc]))
         return sol[:n], sol[n:]
 
+    def kkt_solve(prep, sigma_x, ds, rx, rc):
+        H, J = prep
+        return _dense_solve(H, J, sigma_x, ds, rx, rc)
+
+    def kkt_solve_feasibility(prep, sigma_x, rc):
+        _, J = prep
+        return _dense_solve(jnp.zeros_like(prep[0]), J, sigma_x,
+                            jnp.ones_like(rc), jnp.zeros_like(sigma_x),
+                            rc)
+
     return IPMFunctions(objective=objective, gradient=grad,
-                        constraints=constraints, kkt_solve=kkt_solve)
+                        constraints=constraints, kkt_prepare=kkt_prepare,
+                        kkt_solve=kkt_solve,
+                        kkt_solve_feasibility=kkt_solve_feasibility)
