@@ -55,3 +55,9 @@ def default_factor_dtype():
     rely on iterative refinement (see nlp/kkt.py) for full accuracy.
     """
     return jnp.float32 if on_tpu() else default_dtype()
+
+
+def default_kkt_method():
+    """'cr' (log-depth cyclic reduction) on TPU where the sequential
+    scan is latency-bound; 'scan' (lowest flops) on CPU."""
+    return 'cr' if on_tpu() else 'scan'

@@ -26,7 +26,7 @@ solver serves any initial guess.
 import jax
 import jax.numpy as jnp
 
-from ..config import default_factor_dtype
+from ..config import default_factor_dtype, default_kkt_method
 from ..transcribe.hessian import make_structured_scalar_hessian
 from .ipm import IPMFunctions
 from .kkt import KKTBlocks, solve_structured_kkt
@@ -65,7 +65,7 @@ def compute_scaling(col, gradient, x0):
 
 def make_collocation_nlp_functions(col, objective, gradient=None,
                                    factor_dtype=None, refine_steps=None,
-                                   scale_from=None):
+                                   scale_from=None, kkt_method=None):
     """IPMFunctions for a collocation problem.
 
     Parameters
@@ -94,6 +94,8 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         # mixed-precision factorization needs more refinement rounds
         refine_steps = 1 if jnp.dtype(factor_dtype) == jnp.dtype(dtype) \
             else 3
+    if kkt_method is None:
+        kkt_method = default_kkt_method()
 
     struct_hess = make_structured_scalar_hessian(N, n, q, bw, dtype)
     grad_fn = gradient if gradient is not None else jax.grad(objective)
@@ -201,7 +203,8 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         r_border = jnp.concatenate([rw, rc_inst])
         u, beta = solve_structured_kkt(blocks, r_nodes, r_border,
                                        factor_dtype=factor_dtype,
-                                       refine_steps=refine_steps)
+                                       refine_steps=refine_steps,
+                                       method=kkt_method)
         dx = join_free(u[:, :nz], beta[:bw])
         dy = join_con(u[1:, nz:], beta[bw:])
         return dx, dy

@@ -272,23 +272,53 @@ def kkt_matvec(blocks: KKTBlocks, u, beta):
     return node, border
 
 
+def factor_kkt_cr(blocks: KKTBlocks, factor_dtype=None):
+    """Cyclic-reduction factorization (log-depth; TPU-friendly).
+
+    Same equilibration and mixed-precision contract as ``factor_kkt``;
+    see ops/tridiag.py for the algorithm.
+    """
+    from ..ops.tridiag import cr_factor
+    D, E, F, Kbb = _assemble_node_blocks(blocks)
+    D, E, F, Kbb, sn, sb = _equilibrate(D, E, F, Kbb)
+    levels, root_inv, _ = cr_factor(D, E, F, Kbb,
+                                    factor_dtype=factor_dtype)
+    return (tuple(levels), root_inv, D.shape[0], sn, sb)
+
+
+def solve_factored_cr(fac, r_nodes, r_border):
+    from ..ops.tridiag import cr_solve
+    levels, root_inv, n_orig, sn, sb = fac
+    u, beta = cr_solve(levels, root_inv, r_nodes * sn, r_border * sb,
+                       n_orig)
+    return u * sn, beta * sb
+
+
 def solve_structured_kkt(blocks: KKTBlocks, r_nodes, r_border,
-                         factor_dtype=None, refine_steps=1):
+                         factor_dtype=None, refine_steps=1,
+                         method='scan'):
     """Solve K [u; beta] = [r_nodes; r_border].
 
     The factorization runs once in ``factor_dtype`` (float32 on TPU
     where f64 LU does not lower); ``refine_steps`` rounds of iterative
     refinement with the full-precision operator recover accuracy.
+    ``method``: 'scan' (sequential block LU, lowest flops) or 'cr'
+    (cyclic reduction, log-depth — preferred on TPU).
     """
     work_dtype = blocks.Hd.dtype
-    fac = factor_kkt(blocks, factor_dtype=factor_dtype)
+    if method == 'cr':
+        fac = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
+        solver = solve_factored_cr
+    else:
+        fac = factor_kkt(blocks, factor_dtype=factor_dtype)
+        solver = solve_factored
 
-    u, beta = solve_factored(fac, r_nodes, r_border)
+    u, beta = solver(fac, r_nodes, r_border)
     u = u.astype(work_dtype)
     beta = beta.astype(work_dtype)
     for _ in range(refine_steps):
         Ku, Kb = kkt_matvec(blocks, u, beta)
-        du, dbeta = solve_factored(fac, r_nodes - Ku, r_border - Kb)
+        du, dbeta = solver(fac, r_nodes - Ku, r_border - Kb)
         u = u + du.astype(work_dtype)
         beta = beta + dbeta.astype(work_dtype)
     return u, beta

@@ -103,6 +103,7 @@ class Problem:
 
         self._ipm_options = IPMOptions()
         self._factor_dtype = None
+        self._kkt_method = None
         self._solver = None
         self._batch_solver = None
         self.obj_value = []
@@ -229,14 +230,19 @@ class Problem:
             self._batch_solver = None
         # silently accepted: output/print options have no meaning here
 
-    def set_solver_options(self, factor_dtype=None, **kwargs):
+    def set_solver_options(self, factor_dtype=None, kkt_method=None,
+                           **kwargs):
         """Directly set IPMOptions fields (native configuration API).
 
         ``factor_dtype`` selects the KKT factorization precision
-        (defaults to f64 on CPU, f32 + iterative refinement on TPU).
+        (defaults to f64 on CPU, f32 + iterative refinement on TPU);
+        ``kkt_method`` selects 'scan' (sequential block LU) or 'cr'
+        (log-depth cyclic reduction, the TPU default).
         """
         if factor_dtype is not None:
             self._factor_dtype = factor_dtype
+        if kkt_method is not None:
+            self._kkt_method = kkt_method
         self._ipm_options = self._ipm_options._replace(**kwargs)
         self._solver = None
         self._batch_solver = None
@@ -267,7 +273,8 @@ class Problem:
         def run_warm(free, y0, zl0, zu0):
             fns, (sf, dsc) = make_collocation_nlp_functions(
                 col, obj_fn, grad_fn, scale_from=free,
-                factor_dtype=self._factor_dtype)
+                factor_dtype=self._factor_dtype,
+                kkt_method=self._kkt_method)
             res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
                             options=options, y0=y0 * sf / dsc,
                             zL0=zl0 * sf, zU0=zu0 * sf)
@@ -276,7 +283,8 @@ class Problem:
         def run_cold(free):
             fns, (sf, dsc) = make_collocation_nlp_functions(
                 col, obj_fn, grad_fn, scale_from=free,
-                factor_dtype=self._factor_dtype)
+                factor_dtype=self._factor_dtype,
+                kkt_method=self._kkt_method)
             res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
                             options=options)
             return unscale(res, sf, dsc)
@@ -330,7 +338,8 @@ class Problem:
             def run_one(free):
                 fns, (sf, dsc) = make_collocation_nlp_functions(
                     col, obj_fn, grad_fn, scale_from=free,
-                    factor_dtype=self._factor_dtype)
+                    factor_dtype=self._factor_dtype,
+                kkt_method=self._kkt_method)
                 res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
                                 options=options)
                 return res._replace(

@@ -140,3 +140,35 @@ def test_vmap_batch():
     u, beta = jax.vmap(solve)(shifts)
     assert u.shape == (3, 6, 4)
     assert np.all(np.isfinite(np.asarray(u)))
+
+
+def test_cyclic_reduction_matches_dense():
+    for (N, nz, M, bw, o) in [(9, 3, 2, 2, 3), (16, 2, 2, 0, 0),
+                              (7, 4, 3, 1, 0)]:
+        blocks = random_blocks(N, nz, M, bw, o)
+        d = nz + M
+        r_nodes = jnp.asarray(rng.normal(size=(N, d)))
+        r_border = jnp.asarray(rng.normal(size=(bw + o,)))
+        K = dense_kkt(blocks)
+        rhs = np.concatenate([np.asarray(r_nodes).ravel(),
+                              np.asarray(r_border)])
+        expected = np.linalg.solve(K, rhs)
+        u, beta = solve_structured_kkt(blocks, r_nodes, r_border,
+                                       method='cr')
+        got = np.concatenate([np.asarray(u).ravel(), np.asarray(beta)])
+        np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-7)
+
+
+def test_cyclic_reduction_f32_refined():
+    blocks = random_blocks(33, 3, 2, 2, 1)
+    r_nodes = jnp.asarray(rng.normal(size=(33, 5)))
+    r_border = jnp.asarray(rng.normal(size=(3,)))
+    K = dense_kkt(blocks)
+    rhs = np.concatenate([np.asarray(r_nodes).ravel(),
+                          np.asarray(r_border)])
+    expected = np.linalg.solve(K, rhs)
+    u, beta = solve_structured_kkt(blocks, r_nodes, r_border,
+                                   factor_dtype=jnp.float32,
+                                   refine_steps=3, method='cr')
+    got = np.concatenate([np.asarray(u).ravel(), np.asarray(beta)])
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-6)
