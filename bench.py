@@ -55,10 +55,16 @@ def main():
     wall = time.time() - t0
 
     status = np.asarray(res.status)
-    n_ok = int(np.sum(status == 0))
+    n_ok = int(np.sum((status == 0) | (status == 1)))
     iters = np.asarray(res.iterations)
-    log('statuses: {} ok of {}; iters min/med/max: {}/{}/{}'.format(
-        n_ok, batch, iters.min(), int(np.median(iters)), iters.max()))
+    uniq, cnt = np.unique(status, return_counts=True)
+    log('status counts:', dict(zip(uniq.tolist(), cnt.tolist())))
+    log('inf_pr quantiles:', np.quantile(np.asarray(res.inf_pr),
+                                         [0.0, 0.5, 1.0]))
+    log('inf_du quantiles:', np.quantile(np.asarray(res.inf_du),
+                                         [0.0, 0.5, 1.0]))
+    log('iters min/med/max: {}/{}/{}'.format(
+        iters.min(), int(np.median(iters)), iters.max()))
     log('solve wall: {:.2f}s'.format(wall))
 
     solves_per_s = batch / wall
