@@ -183,3 +183,48 @@ class TestBatchSolve:
         assert res.x.shape == (4, prob.num_free)
         # at least some of the loose-torque starts must converge
         assert np.sum(np.asarray(res.status) == 0) >= 2
+
+
+class TestReferenceSolutionParity:
+    """Strongest parity check: the reference's committed Ipopt solution
+    (pendulum_swing_up_variable_duration_501_nodes_solution.csv)
+    evaluates as feasible in our transcription (4e-8 residual) and is
+    certified as a KKT point by our solver in a few iterations when
+    warm-started with a small barrier parameter."""
+
+    CSV = ('/root/reference/examples-gallery/beginner/'
+           'pendulum_swing_up_variable_duration_501_nodes_solution.csv')
+
+    def test_certify_reference_optimum(self):
+        import os
+        if not os.path.exists(self.CSV):
+            pytest.skip('reference solution file not available')
+        num_nodes = 501
+        m, g, d, t, h = sm.symbols('m, g, d, t, h', real=True)
+        theta, omega, T = sm.symbols('theta, omega, T', cls=sm.Function)
+        eom = sm.Matrix([theta(t).diff() - omega(t),
+                         m * d ** 2 * omega(t).diff()
+                         + m * g * d * sm.sin(theta(t)) - T(t)])
+
+        def obj(prob, free):
+            _, T_vals, _, h_val = prob.parse_free(free)
+            return h_val * jnp.sum(T_vals ** 2)
+
+        ic = (theta(0 * h),
+              theta((num_nodes - 1) * h) - np.pi,
+              omega(0 * h), omega((num_nodes - 1) * h))
+        prob = Problem(obj, None, eom, (theta(t), omega(t)), num_nodes, h,
+                       known_parameter_map={m: 1.0, g: 9.81, d: 1.0},
+                       instance_constraints=ic, time_symbol=t,
+                       bounds={T(t): (-2.0, 2.0), h: (0.0, 0.5)})
+        ref = np.loadtxt(self.CSV)
+        # reference solution is feasible in our transcription
+        assert np.abs(prob.con(ref)).max() < 1e-6
+        # and is certified as an optimum in a handful of iterations
+        prob.set_solver_options(max_iter=50, mu_init=1e-9,
+                                bound_push=1e-10, slack_push=1e-10)
+        sol, info = prob.solve(ref)
+        assert info['status'] == 0
+        assert info['iterations'] <= 10
+        np.testing.assert_allclose(info['obj_val'], 23.0161, rtol=1e-4)
+        assert np.abs(sol - ref).max() < 1e-3
