@@ -49,12 +49,16 @@ def on_tpu():
 
 
 def default_factor_dtype():
-    """dtype for dense/blocked LU factorizations inside the KKT solve.
+    """dtype for the blocked factorizations inside the KKT solve.
 
-    TPU has no float64 LU lowering, so factorize in float32 there and
-    rely on iterative refinement (see nlp/kkt.py) for full accuracy.
+    The block factorizations use pure-jnp pivoted elimination
+    (ops/smallblock.py), which runs in emulated float64 on TPU, so the
+    default is full precision everywhere.  float32 (+ the automatic
+    extra iterative-refinement rounds) remains available via
+    Problem.set_solver_options(factor_dtype=jnp.float32) as a speed
+    option.
     """
-    return jnp.float32 if on_tpu() else default_dtype()
+    return default_dtype()
 
 
 def default_kkt_method():

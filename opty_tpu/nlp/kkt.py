@@ -34,6 +34,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.smallblock import block_inv
+
 __all__ = ['KKTBlocks', 'KKTFactorization', 'factor_kkt', 'solve_factored',
            'solve_structured_kkt', 'kkt_matvec']
 
@@ -155,7 +157,7 @@ def factor_kkt(blocks: KKTBlocks, factor_dtype=None) -> KKTFactorization:
         Dk, Ek, Fk = inp
         Mk = Ek @ S_prev_inv
         Sk = Dk - Mk @ jnp.swapaxes(Ek, 0, 1)
-        Sk_inv = jnp.linalg.solve(Sk, eye)
+        Sk_inv = block_inv(Sk)
         Ftk = Fk - Mk @ Ft_prev
         dKbb = -jnp.swapaxes(Ftk, 0, 1) @ (Sk_inv @ Ftk)
         return (Sk_inv, Ftk), (Sk_inv, Mk, Ftk, dKbb)
@@ -165,8 +167,7 @@ def factor_kkt(blocks: KKTBlocks, factor_dtype=None) -> KKTFactorization:
 
     if b:
         Kbb_schur = Kbb + jnp.sum(dKbb, axis=0)
-        Kbb_schur_inv = jnp.linalg.solve(Kbb_schur,
-                                         jnp.eye(b, dtype=D.dtype))
+        Kbb_schur_inv = block_inv(Kbb_schur)
     else:
         Kbb_schur_inv = jnp.zeros((0, 0), D.dtype)
     return KKTFactorization(S_inv, Melim, Ft, E, Kbb_schur_inv, sn, sb)

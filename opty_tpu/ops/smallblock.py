@@ -1,0 +1,63 @@
+"""Batched small-matrix inversion in pure jnp arithmetic.
+
+``jnp.linalg.inv``/``solve`` lower to backend linear-algebra custom
+calls: on TPU these exist only for float32 and (empirically) with
+numerics that stall the IPM around 1e-5 primal infeasibility.  The KKT
+factorizations instead use this pure-jnp routine:
+
+  * Gaussian elimination with partial pivoting (forward elimination
+    applied to [A | I], eliminating below the pivot only) followed by
+    triangular back-substitution — the classical LU-based inversion,
+    which has markedly better error growth than full Gauss-Jordan
+    elimination (a GJ variant measurably stalled the variable-duration
+    pendulum benchmark that this version solves);
+  * plain jnp arithmetic runs in any dtype on any backend — including
+    TPU's *emulated* float64 (the float-float path covers +, *, / but
+    not LAPACK custom calls), so factorization precision matches CPU;
+  * the block size d is static and small (n + q + M per collocation
+    node), so the unrolled elimination is cheap and fully batched over
+    nodes and vmapped problem instances.
+"""
+
+import jax.numpy as jnp
+
+__all__ = ['block_inv']
+
+
+def block_inv(A):
+    """Inverse of a batch of small matrices, shape (..., d, d).
+
+    Singular inputs produce inf/nan entries (callers detect non-finite
+    directions and regularize, mirroring how LU factorizations surface
+    singularity).
+    """
+    d = A.shape[-1]
+    batch = A.shape[:-2]
+    rows = jnp.arange(d)
+    M = A
+    R = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), batch + (d, d))
+
+    # forward elimination with partial pivoting; the row operations are
+    # applied to R simultaneously (R becomes L^-1 P)
+    for k in range(d):
+        col = jnp.abs(M[..., :, k])
+        col = jnp.where(rows >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)
+        pk = p[..., None]
+        perm = jnp.where(rows == k, pk,
+                         jnp.where(rows == pk, k, rows))
+        M = jnp.take_along_axis(M, perm[..., :, None], axis=-2)
+        R = jnp.take_along_axis(R, perm[..., :, None], axis=-2)
+        below = (rows > k)[..., :, None]
+        f = jnp.where(below, M[..., :, k:k + 1] / M[..., k:k + 1, k:k + 1],
+                      0.0)
+        M = M - f * M[..., k:k + 1, :]
+        R = R - f * R[..., k:k + 1, :]
+
+    # back substitution: solve U X = R with U = M upper triangular
+    X = jnp.zeros_like(R)
+    for k in reversed(range(d)):
+        rhs = R[..., k:k + 1, :] - M[..., k:k + 1, :] @ X
+        xk = rhs / M[..., k:k + 1, k:k + 1]
+        X = jnp.where((rows == k)[..., :, None], xk, X)
+    return X

@@ -27,6 +27,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .smallblock import block_inv
+
 __all__ = ['CRFactorization', 'cr_factor', 'cr_solve']
 
 
@@ -96,7 +98,7 @@ def cr_factor(D, E, F, Kbb, factor_dtype=None):
         E_lo, E_hi = E[0::2], E[1::2]     # E[2j], E[2j+1]
         F_even, F_odd = F[0::2], F[1::2]
 
-        Dinv = jnp.linalg.inv(D_odd)
+        Dinv = block_inv(D_odd)
         Dinv_lo = _shift_down(Dinv)       # Dinv of odd 2j-1
         E_odd_lo = _shift_down(E_hi)      # E[2j-1]
         F_odd_lo = _shift_down(F_odd)     # F[2j-1]
@@ -125,7 +127,7 @@ def cr_factor(D, E, F, Kbb, factor_dtype=None):
     root = root.at[:d, d:].set(F[0])
     root = root.at[d:, :d].set(F[0].T)
     root = root.at[d:, d:].set(Kbb)
-    root_inv = jnp.linalg.inv(root)
+    root_inv = block_inv(root)
     return levels, root_inv, L
 
 

@@ -545,6 +545,13 @@ class ConstraintCollocator:
     # ------------------------------------------------------------------
     # layout transforms
     # ------------------------------------------------------------------
+    # Optional jax.sharding.Sharding for the node-major (N, n+q) state
+    # array: when set, evaluators constrain their node axis to it and
+    # GSPMD shards the interval loop across devices, inserting the
+    # 1-halo neighbor exchanges implied by the collocation stencil
+    # (the sequence-parallel analog; SURVEY.md P3).
+    node_sharding = None
+
     def unpack_free(self, free):
         """free -> (Z (N, n+q) node-major, w (bw,))."""
         n = self.num_states
@@ -553,6 +560,8 @@ class ConstraintCollocator:
         X = free[:n * N].reshape(n, N)
         U = free[n * N:(n + q) * N].reshape(q, N)
         Z = jnp.concatenate([X.T, U.T], axis=1)
+        if self.node_sharding is not None:
+            Z = jax.lax.with_sharding_constraint(Z, self.node_sharding)
         return Z, free[(n + q) * N:]
 
     def pack_free(self, Z, w):
