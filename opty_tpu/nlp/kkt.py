@@ -22,11 +22,14 @@ the direct analog of what Ipopt's general sparse LU (MUMPS) discovers
 numerically, but with zero symbolic-analysis overhead, fully batchable
 across problem instances via ``vmap``, and with dense per-node blocks.
 
-TPU float64 note: TPU has no f64 LU lowering, so the per-node block
-inversions run in ``factor_dtype`` (f32 on TPU) while iterative
-refinement applies the true operator in f64 — classic mixed-precision
-refinement.  The factorization is computed once and reused by every
-refinement solve.
+Precision: block inversions use a pure-jnp pivoted elimination
+(ops/smallblock.py) that runs in emulated float64 on TPU (backend
+LAPACK custom calls are f32-only there and numerically weak), so the
+default factorization is full precision everywhere.  A float32
+``factor_dtype`` remains available as a speed option; symmetric Jacobi
+equilibration plus extra float64 iterative-refinement rounds then
+recover Ipopt-level tolerances.  Factorizations are computed once and
+reused by every refinement solve.
 """
 
 from typing import NamedTuple

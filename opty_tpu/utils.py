@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from .config import default_dtype
 from .symbolics.classify import sort_sympy  # noqa: F401 (re-export)
 
-__all__ = ['state_derivatives', 'f_minus_ma', 'parse_free',
+__all__ = ['state_derivatives', 'f_minus_ma', 'parse_free', 'MathJaxRepr', 'building_docs', 'lambdify_matrix',
            'create_objective_function', 'sort_sympy', 'sum_of_sines',
            'controllable', 'substitute_matrix']
 
@@ -228,3 +228,33 @@ def substitute_matrix(matrix, row_idxs, col_idxs, sub_matrix):
         for j, cj in enumerate(col_idxs):
             matrix[ri, cj] = sub_matrix[i, j]
     return matrix
+
+
+class MathJaxRepr:
+    """Display object for SymPy expressions in notebook/doc contexts
+    (parity: opty/utils.py:47-58)."""
+
+    def __init__(self, expr):
+        self.expr = expr
+
+    def _repr_latex_(self):
+        return '$${}$$'.format(sm.latex(self.expr))
+
+    def __repr__(self):
+        return sm.srepr(self.expr)
+
+
+def building_docs():
+    """True when running inside a documentation build (parity:
+    opty/utils.py:231-237)."""
+    import os
+    return 'READTHEDOCS' in os.environ or 'SPHINX_BUILD' in os.environ
+
+
+def lambdify_matrix(args, expr):
+    """Lower a SymPy matrix to a JAX-traceable function of scalar
+    arguments (the JAX analog of the reference's NumPy fallback
+    backend, opty/utils.py:598-636; the primary path is
+    opty_tpu.symbolics.lower)."""
+    from .symbolics.lower import lambdify_jax
+    return lambdify_jax(args, list(expr))
