@@ -33,7 +33,11 @@ def n_link_pendulum_on_cart(n):
     F = me.dynamicsymbols('F')
     m = sm.symbols('m:{}'.format(n + 1))
     l = sm.symbols('l:{}'.format(n))
-    g, t = sm.symbols('g t')
+    g = sm.Symbol('g')
+    # use the active dynamicsymbols time so this composes with any
+    # prior Problem(time_symbol=...) in the same process (the
+    # collocator mirrors the reference's dynamicsymbols._t side effect)
+    t = me.dynamicsymbols._t
 
     frame = me.ReferenceFrame('I')
     origin = me.Point('O')

@@ -62,6 +62,13 @@ def default_factor_dtype():
 
 
 def default_kkt_method():
-    """'cr' (log-depth cyclic reduction) on TPU where the sequential
-    scan is latency-bound; 'scan' (lowest flops) on CPU."""
-    return 'cr' if on_tpu() else 'scan'
+    """KKT factorization algorithm: 'scan' (sequential block LU) or
+    'cr' (log-depth cyclic reduction).
+
+    'cr' is the latency-optimal choice for large-N single problems on
+    TPU, but its unrolled levels currently inflate XLA-TPU compile
+    times badly (>20 min for the batched solver vs ~8 min for scan),
+    so 'scan' is the default everywhere for now;
+    Problem.set_solver_options(kkt_method='cr') opts in.
+    """
+    return 'scan'

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from ..config import default_factor_dtype, default_kkt_method
 from ..transcribe.hessian import make_structured_scalar_hessian
 from .ipm import IPMFunctions
-from .kkt import KKTBlocks, solve_structured_kkt
+from .kkt import (KKTBlocks, factor_kkt, factor_kkt_cr, kkt_matvec,
+                  solve_factored, solve_factored_cr,
+                  solve_structured_kkt)
 
 __all__ = ['make_collocation_nlp_functions', 'compute_scaling']
 
@@ -190,31 +192,55 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         return dict(Hd=Hd + Hd2, Ho=Ho + Ho2, Hw=Hw + Hw2,
                     Hww=Hww + Hww2, P=P, Q=Q, Cn=Cn, Gz=Gz, Gw=Gw)
 
-    def _solve_with(Hd, Ho, Hw, Hww, prep, ds, rx, rc):
+    def _blocks_with(Hd, Ho, Hw, Hww, prep, ds):
         ds_nodes, ds_inst = split_con(ds)
         Ds = jnp.ones((N, M), dtype).at[1:].set(ds_nodes)
-        blocks = KKTBlocks(Hd=Hd, Ho=Ho, Hw=Hw, Hww=Hww, P=prep['P'],
-                           Q=prep['Q'], C=prep['Cn'], Ds=Ds,
-                           Gz=prep['Gz'], Gw=prep['Gw'], Di=ds_inst)
+        return KKTBlocks(Hd=Hd, Ho=Ho, Hw=Hw, Hww=Hww, P=prep['P'],
+                         Q=prep['Q'], C=prep['Cn'], Ds=Ds,
+                         Gz=prep['Gz'], Gw=prep['Gw'], Di=ds_inst)
+
+    def _split_rhs(rx, rc):
         rz, rw = split_free(rx)
         rc_nodes, rc_inst = split_con(rc)
         ry = jnp.zeros((N, M), dtype).at[1:].set(rc_nodes)
-        r_nodes = jnp.concatenate([rz, ry], axis=1)
-        r_border = jnp.concatenate([rw, rc_inst])
-        u, beta = solve_structured_kkt(blocks, r_nodes, r_border,
-                                       factor_dtype=factor_dtype,
-                                       refine_steps=refine_steps,
-                                       method=kkt_method)
-        dx = join_free(u[:, :nz], beta[:bw])
-        dy = join_con(u[1:, nz:], beta[bw:])
-        return dx, dy
+        return (jnp.concatenate([rz, ry], axis=1),
+                jnp.concatenate([rw, rc_inst]))
 
-    def kkt_solve(prep, sigma_x, ds, rx, rc):
+    def _join_sol(u, beta):
+        return (join_free(u[:, :nz], beta[:bw]),
+                join_con(u[1:, nz:], beta[bw:]))
+
+    def kkt_factor(prep, sigma_x, ds):
+        """Factor the KKT matrix once for a given regularization; the
+        (blocks, factorization) pair is reusable by ``kkt_apply`` for
+        any rhs (direction, SOC, refinement)."""
         sz, sw = split_free(sigma_x)
         Hd = prep['Hd'] + jax.vmap(jnp.diag)(sz)
         Hww = prep['Hww'] + jnp.diag(sw)
-        return _solve_with(Hd, prep['Ho'], prep['Hw'], Hww, prep, ds,
-                           rx, rc)
+        blocks = _blocks_with(Hd, prep['Ho'], prep['Hw'], Hww, prep, ds)
+        if kkt_method == 'cr':
+            fac = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
+        else:
+            fac = factor_kkt(blocks, factor_dtype=factor_dtype)
+        return blocks, fac
+
+    def kkt_apply(blocks_fac, rx, rc):
+        blocks, fac = blocks_fac
+        solver = solve_factored_cr if kkt_method == 'cr' \
+            else solve_factored
+        r_nodes, r_border = _split_rhs(rx, rc)
+        u, beta = solver(fac, r_nodes, r_border)
+        u = u.astype(dtype)
+        beta = beta.astype(dtype)
+        for _ in range(refine_steps):
+            Ku, Kb = kkt_matvec(blocks, u, beta)
+            du, dbeta = solver(fac, r_nodes - Ku, r_border - Kb)
+            u = u + du.astype(dtype)
+            beta = beta + dbeta.astype(dtype)
+        return _join_sol(u, beta)
+
+    def kkt_solve(prep, sigma_x, ds, rx, rc):
+        return kkt_apply(kkt_factor(prep, sigma_x, ds), rx, rc)
 
     def kkt_solve_feasibility(prep, sigma_x, rc):
         """Damped Gauss-Newton feasibility step: the Hessian is
@@ -228,10 +254,16 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         Hww = jnp.diag(sw)
         ds = jnp.ones((col.num_constraints,), dtype)
         rx = jnp.zeros((col.num_free,), dtype)
-        return _solve_with(Hd, Ho, Hw, Hww, prep, ds, rx, rc)
+        blocks = _blocks_with(Hd, Ho, Hw, Hww, prep, ds)
+        if kkt_method == 'cr':
+            fac = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
+        else:
+            fac = factor_kkt(blocks, factor_dtype=factor_dtype)
+        return kkt_apply((blocks, fac), rx, rc)
 
     fns = IPMFunctions(objective=objective_s, gradient=gradient_s,
                        constraints=constraints_s, kkt_prepare=kkt_prepare,
+                       kkt_factor=kkt_factor, kkt_apply=kkt_apply,
                        kkt_solve=kkt_solve,
                        kkt_solve_feasibility=kkt_solve_feasibility)
     return fns, (sf, dsc_full)

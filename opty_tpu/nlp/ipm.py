@@ -106,6 +106,8 @@ class IPMFunctions(NamedTuple):
     kkt_prepare: Callable[..., Any]
     kkt_solve: Callable[..., Any]
     kkt_solve_feasibility: Callable[..., Any]
+    kkt_factor: Any = None   # optional factor/apply split (reuse across rhs)
+    kkt_apply: Any = None
 
 
 class IPMResult(NamedTuple):
