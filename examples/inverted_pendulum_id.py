@@ -10,6 +10,12 @@ identification NLP runs on the opty_tpu solver.
 Run:  python examples/inverted_pendulum_id.py [--links 1] [--nodes 501]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
 import argparse
 import time
 

@@ -5,6 +5,12 @@ plot_pendulum_swing_up_fixed_duration.py, re-expressed for opty_tpu).
 Run:  python examples/pendulum_swing_up.py [--batch B]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
 import argparse
 import time
 

@@ -6,6 +6,12 @@ Identifies p in  y'' + p sin(y) = 0  from noisy observations of y,
 with simultaneous state estimation on a midpoint collocation grid.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
 import argparse
 import time
 
