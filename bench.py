@@ -33,8 +33,9 @@ def main():
 
     log('devices:', jax.devices())
 
-    num_nodes = 501
-    batch = 32
+    import os
+    num_nodes = int(os.environ.get('BENCH_NODES', '501'))
+    batch = int(os.environ.get('BENCH_BATCH', '32'))
     prob = swing_up_problem(num_nodes=num_nodes)
     prob.set_solver_options(max_iter=200)
 
