@@ -84,5 +84,20 @@ def main():
     }))
 
 
+def emit_failure(err):
+    print(json.dumps({
+        'metric': 'pendulum_N501_collocation_solves_per_s_per_chip',
+        'value': 0.0,
+        'unit': 'solves/s',
+        'vs_baseline': 0.0,
+        'error': str(err)[:300],
+    }))
+
+
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except Exception as err:  # emit a recordable result either way
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        emit_failure(err)
