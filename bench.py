@@ -37,7 +37,8 @@ def main():
     num_nodes = int(os.environ.get('BENCH_NODES', '501'))
     batch = int(os.environ.get('BENCH_BATCH', '32'))
     prob = swing_up_problem(num_nodes=num_nodes)
-    prob.set_solver_options(max_iter=200)
+    prob.set_solver_options(max_iter=int(os.environ.get('BENCH_MAXITER',
+                                                        '200')))
 
     rng = np.random.default_rng(7)
     free_batch = rng.standard_normal((batch, prob.num_free))
