@@ -145,6 +145,8 @@ class _State(NamedTuple):
     rest_lam: jnp.ndarray     # LM damping of the restoration GN step
     theta_prev: jnp.ndarray   # previous-iteration theta (stall detection)
     stall_count: jnp.ndarray
+    theta_min: jnp.ndarray    # init-point filter thresholds (constant;
+    theta_max: jnp.ndarray    # carried so solves can resume from state)
     it: jnp.ndarray
     status: jnp.ndarray
     done: jnp.ndarray
@@ -183,8 +185,16 @@ def _ftb_alpha(dist, step, mask, tau):
 
 def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
               options: IPMOptions = IPMOptions(),
-              y0=None, zL0=None, zU0=None):
-    """Solve the NLP from ``x0``.  Pure function: jit/vmap-friendly."""
+              y0=None, zL0=None, zU0=None,
+              resume_state=None, iter_budget=None, return_state=False):
+    """Solve the NLP from ``x0``.  Pure function: jit/vmap-friendly.
+
+    ``resume_state``/``iter_budget``/``return_state`` support chunked
+    execution: run at most ``iter_budget`` further iterations from a
+    previously returned state, and return the carried state alongside
+    the result.  Needed where single device executions must stay
+    short (the TPU remote-execution path kills long launches); the
+    default (None) path is byte-identical to an unchunked solve."""
     opt = options
     dtype = jnp.result_type(jnp.asarray(x0).dtype, jnp.float32)
     x0 = jnp.asarray(x0, dtype)
@@ -226,10 +236,10 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     wU_init = jnp.where(msU, one, 0.0)
 
     theta_init = jnp.sum(jnp.abs(c0 - s_init))
-    theta_max = 1e4 * jnp.maximum(1.0, theta_init)
-    theta_min = 1e-4 * jnp.maximum(1.0, theta_init)
+    theta_max_init = 1e4 * jnp.maximum(1.0, theta_init)
+    theta_min_init = 1e-4 * jnp.maximum(1.0, theta_init)
 
-    def fresh_filter():
+    def fresh_filter(theta_max):
         """Empty filter containing only the (theta_max, -inf) cap."""
         f_theta = jnp.full((_FILTER_SIZE,), jnp.inf, dtype)
         f_phi = jnp.full((_FILTER_SIZE,), jnp.inf, dtype)
@@ -373,12 +383,19 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         return x_n, s_n, reduced, lam_n, feas_grad
 
     # ---- main loop ------------------------------------------------------
-    def cond(st: _State):
-        return (~st.done) & (st.it < opt.max_iter)
+    if iter_budget is None:
+        def cond(st: _State):
+            return (~st.done) & (st.it < opt.max_iter)
+    else:
+        def cond(st: _State, _limit=None):
+            return (~st.done) & (st.it < opt.max_iter) & \
+                (st.it < st0.it + iter_budget)
 
     def body(st: _State):
         x, s, y = st.x, st.s, st.y
         zL, zU, wL, wU = st.zL, st.zU, st.wL, st.wU
+        theta_min = st.theta_min
+        theta_max = st.theta_max
 
         g, c, Jty = eval_point(x, y)
 
@@ -400,7 +417,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             None, length=4)
 
         # filter reset on barrier reduction (Waechter-Biegler)
-        ft0, fp0, fc0 = fresh_filter()
+        ft0, fp0, fc0 = fresh_filter(theta_max)
         f_theta = jnp.where(mu_shrunk, ft0, st.f_theta)
         f_phi = jnp.where(mu_shrunk, fp0, st.f_phi)
         f_count = jnp.where(mu_shrunk, fc0, st.f_count)
@@ -702,7 +719,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             wL_n = jnp.where(exit_now, jnp.where(msL, mu / dLs_e, 0.0), wL)
             wU_n = jnp.where(exit_now, jnp.where(msU, mu / dUs_e, 0.0), wU)
 
-            ftf, fpf, fcf = fresh_filter()
+            ftf, fpf, fcf = fresh_filter(theta_max)
             fth = jnp.where(exit_now, ftf, f_theta)
             fph = jnp.where(exit_now, fpf, f_phi)
             fcn = jnp.where(exit_now, fcf, f_count)
@@ -784,12 +801,13 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             in_rest=in_rest, rest_theta=rest_theta, rest_total=rest_total,
             rest_lam=rest_lam, theta_prev=theta_now,
             stall_count=stall_count,
+            theta_min=theta_min, theta_max=theta_max,
             it=st.it + 1, status=status, done=done,
             accept_count=accept_count,
             obj_history=obj_history, inf_pr=inf_pr, inf_du=inf_du,
             alpha_last=alpha)
 
-    ft_i, fp_i, fc_i = fresh_filter()
+    ft_i, fp_i, fc_i = fresh_filter(theta_max_init)
     st0 = _State(
         x=x_init, s=s_init, y=y_init, zL=zL_init, zU=zU_init,
         wL=wL_init, wU=wU_init,
@@ -810,7 +828,10 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         obj_history=jnp.full((opt.max_iter,), jnp.nan, dtype),
         inf_pr=jnp.asarray(jnp.inf, dtype),
         inf_du=jnp.asarray(jnp.inf, dtype),
-        alpha_last=jnp.asarray(0.0, dtype))
+        alpha_last=jnp.asarray(0.0, dtype),
+        theta_min=theta_min_init, theta_max=theta_max_init)
+    if resume_state is not None:
+        st0 = resume_state
 
     if opt.debug:
         st = st0
@@ -829,11 +850,14 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     else:
         st = jax.lax.while_loop(cond, body, st0)
 
-    return IPMResult(
+    result = IPMResult(
         x=st.x, obj_val=fns.objective(st.x), g=fns.constraints(st.x),
         mult_g=st.y, mult_x_L=st.zL, mult_x_U=st.zU,
         status=st.status, iterations=st.it, obj_history=st.obj_history,
         inf_pr=st.inf_pr, inf_du=st.inf_du, mu=st.mu)
+    if return_state:
+        return result, st
+    return result
 
 
 def make_nlp_functions_dense(objective, constraints,

@@ -21,7 +21,7 @@ import sympy as sm
 import jax
 import jax.numpy as jnp
 
-from .config import default_dtype
+from .config import default_dtype, on_tpu
 from .nlp.collocation import make_collocation_nlp_functions
 from .nlp.ipm import IPMOptions, solve_ipm
 from .nlp.status import STATUS_MESSAGES
@@ -104,6 +104,9 @@ class Problem:
         self._ipm_options = IPMOptions()
         self._factor_dtype = None
         self._kkt_method = None
+        # iterations per device execution; None = auto (chunked on TPU
+        # where the remote-execution path kills long launches)
+        self._chunk_iters = None
         self._solver = None
         self._batch_solver = None
         self.obj_value = []
@@ -243,6 +246,8 @@ class Problem:
             self._factor_dtype = factor_dtype
         if kkt_method is not None:
             self._kkt_method = kkt_method
+        if 'chunk_iters' in kwargs:
+            self._chunk_iters = kwargs.pop('chunk_iters')
         self._ipm_options = self._ipm_options._replace(**kwargs)
         self._solver = None
         self._batch_solver = None
@@ -270,28 +275,40 @@ class Problem:
                 mult_x_U=res.mult_x_U / sf,
                 obj_history=res.obj_history / sf)
 
-        def run_warm(free, y0, zl0, zu0):
-            fns, (sf, dsc) = make_collocation_nlp_functions(
+        chunk = self._effective_chunk()
+
+        def build_fns(free):
+            return make_collocation_nlp_functions(
                 col, obj_fn, grad_fn, scale_from=free,
                 factor_dtype=self._factor_dtype,
                 kkt_method=self._kkt_method)
-            res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
-                            options=options, y0=y0 * sf / dsc,
-                            zL0=zl0 * sf, zU0=zu0 * sf)
-            return unscale(res, sf, dsc)
+
+        def run_warm(free, y0, zl0, zu0):
+            fns, (sf, dsc) = build_fns(free)
+            res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                                   options=options, y0=y0 * sf / dsc,
+                                   zL0=zl0 * sf, zU0=zu0 * sf,
+                                   iter_budget=chunk, return_state=True)
+            return unscale(res, sf, dsc), state
 
         def run_cold(free):
-            fns, (sf, dsc) = make_collocation_nlp_functions(
-                col, obj_fn, grad_fn, scale_from=free,
-                factor_dtype=self._factor_dtype,
-                kkt_method=self._kkt_method)
-            res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
-                            options=options)
-            return unscale(res, sf, dsc)
+            fns, (sf, dsc) = build_fns(free)
+            res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                                   options=options, iter_budget=chunk,
+                                   return_state=True)
+            return unscale(res, sf, dsc), state
+
+        def run_resume(free, state):
+            fns, (sf, dsc) = build_fns(free)
+            res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                                   options=options, resume_state=state,
+                                   iter_budget=chunk, return_state=True)
+            return unscale(res, sf, dsc), state
 
         if options.debug:
-            return run_warm, run_cold
-        return jax.jit(run_warm), jax.jit(run_cold)
+            return run_warm, run_cold, run_resume
+        return (jax.jit(run_warm), jax.jit(run_cold),
+                jax.jit(run_resume))
 
     def solve(self, free, lagrange=[], zl=[], zu=[], respect_bounds=False):
         """Returns the optimal solution and an info dictionary.
@@ -305,16 +322,17 @@ class Problem:
             self.check_bounds_conflict(free)
         if self._solver is None:
             self._solver = self._build_solver()
-        run_warm, run_cold = self._solver
+        run_warm, run_cold, run_resume = self._solver
         free = jnp.asarray(np.asarray(free, dtype=np.float64), self._dtype)
         if len(lagrange):
             zl = zl if len(zl) else np.ones(self.num_free)
             zu = zu if len(zu) else np.ones(self.num_free)
-            res = run_warm(free, jnp.asarray(lagrange, self._dtype),
-                           jnp.asarray(zl, self._dtype),
-                           jnp.asarray(zu, self._dtype))
+            res, state = run_warm(free, jnp.asarray(lagrange, self._dtype),
+                                  jnp.asarray(zl, self._dtype),
+                                  jnp.asarray(zu, self._dtype))
         else:
-            res = run_cold(free)
+            res, state = run_cold(free)
+        res, state = self._drain(run_resume, free, res, state)
         return self._package_result(res)
 
     def solve_batch(self, free_batch, devices=None):
@@ -353,6 +371,24 @@ class Problem:
         free_batch = jnp.asarray(np.asarray(free_batch, dtype=np.float64),
                                  self._dtype)
         return self._batch_solver(free_batch)
+
+    def _effective_chunk(self):
+        """Iterations per device execution (None = unchunked)."""
+        if self._chunk_iters is not None:
+            return self._chunk_iters or None
+        return 40 if on_tpu() else None
+
+    def _drain(self, run_resume, free, res, state):
+        """Host loop finishing a chunked solve (each call is one
+        bounded device execution)."""
+        if self._effective_chunk() is None:
+            return res, state
+        max_iter = self._ipm_options.max_iter
+        while True:
+            done = bool(np.all(np.asarray(state.done)))
+            if done or int(np.max(np.asarray(state.it))) >= max_iter:
+                return res, state
+            res, state = run_resume(free, state)
 
     def _package_result(self, res):
         x = np.asarray(res.x)
