@@ -276,6 +276,7 @@ class Problem:
                 obj_history=res.obj_history / sf)
 
         chunk = self._effective_chunk()
+        chunk_arg = None if chunk is None else jnp.asarray(chunk, jnp.int32)
 
         def build_fns(free):
             return make_collocation_nlp_functions(
@@ -288,13 +289,13 @@ class Problem:
             res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
                                    options=options, y0=y0 * sf / dsc,
                                    zL0=zl0 * sf, zU0=zu0 * sf,
-                                   iter_budget=chunk, return_state=True)
+                                   iter_budget=chunk_arg, return_state=True)
             return unscale(res, sf, dsc), state
 
         def run_cold(free):
             fns, (sf, dsc) = build_fns(free)
             res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
-                                   options=options, iter_budget=chunk,
+                                   options=options, iter_budget=chunk_arg,
                                    return_state=True)
             return unscale(res, sf, dsc), state
 
@@ -302,7 +303,7 @@ class Problem:
             fns, (sf, dsc) = build_fns(free)
             res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
                                    options=options, resume_state=state,
-                                   iter_budget=chunk, return_state=True)
+                                   iter_budget=chunk_arg, return_state=True)
             return unscale(res, sf, dsc), state
 
         if options.debug:
@@ -376,7 +377,9 @@ class Problem:
         """Iterations per device execution (None = unchunked)."""
         if self._chunk_iters is not None:
             return self._chunk_iters or None
-        return 40 if on_tpu() else None
+        # keep each device execution well under the remote-execution
+        # kill threshold (~2 min observed)
+        return 6 if on_tpu() else None
 
     def _drain(self, run_resume, free, res, state):
         """Host loop finishing a chunked solve (each call is one
