@@ -282,7 +282,9 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         dual_l1 = (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(zL))
                    + jnp.sum(jnp.abs(zU)) + jnp.sum(jnp.abs(wL))
                    + jnp.sum(jnp.abs(wU)))
-        sd = jnp.maximum(opt.s_max, dual_l1 / (m + n_comp)) / opt.s_max
+        # Waechter-Biegler denominator m + n with n = primal variable
+        # count including slacks (x and s in this formulation).
+        sd = jnp.maximum(opt.s_max, dual_l1 / (m + (n + m))) / opt.s_max
         z_l1 = (jnp.sum(jnp.abs(zL)) + jnp.sum(jnp.abs(zU))
                 + jnp.sum(jnp.abs(wL)) + jnp.sum(jnp.abs(wU)))
         sc = jnp.maximum(opt.s_max, z_l1 / n_comp) / opt.s_max
@@ -673,8 +675,14 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             stall_count = jnp.where(accepted & stall,
                                     st.stall_count + 1, 0)
             y_blown = jnp.max(jnp.abs(y_n)) > 1e10
-            enter_rest = ((~accepted) | (stall_count >= 25) | y_blown) \
-                & (theta0 > theta_min)
+            # A failed line search always leaves the regular branch —
+            # even near-feasible (theta0 <= theta_min), where Ipopt
+            # terminates or restores rather than spin with alpha = 0:
+            # the restoration branch then exits immediately, resetting
+            # the filter and recentering the multipliers (a soft
+            # restart), and rest_total caps how often that can recur.
+            enter_rest = (~accepted) | (((stall_count >= 25) | y_blown)
+                                        & (theta0 > theta_min))
             # on entry reset the equality multipliers (they are
             # re-estimated after restoration)
             y_n = jnp.where(enter_rest & y_blown, 0.0, y_n)

@@ -28,9 +28,22 @@ def output_equations(x):
 
 
 def _resample(time_measured, y_measured, model_time):
-    """Linear interpolation of measurements onto the model grid."""
+    """Linear interpolation of measurements onto the model grid.
+
+    The model grid must lie inside the measured time range: np.interp
+    clamps silently outside it, which would make an over-long model
+    horizon quietly track edge-held values (the reference's
+    scipy.interp1d raises in that case)."""
+    time_measured = np.asarray(time_measured)
+    model_time = np.asarray(model_time)
+    if (model_time[0] < time_measured[0]
+            or model_time[-1] > time_measured[-1]):
+        raise ValueError(
+            'Model time grid [{}, {}] extends outside the measured time '
+            'range [{}, {}].'.format(model_time[0], model_time[-1],
+                                     time_measured[0], time_measured[-1]))
     y_measured = np.asarray(y_measured)
-    cols = [np.interp(model_time, np.asarray(time_measured),
+    cols = [np.interp(model_time, time_measured,
                       y_measured[:, i]) for i in range(y_measured.shape[1])]
     return np.stack(cols, axis=1)
 

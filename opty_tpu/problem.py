@@ -231,7 +231,13 @@ class Problem:
                 **{field: caster(value)})
             self._solver = None
             self._batch_solver = None
-        # silently accepted: output/print options have no meaning here
+        else:
+            import warnings
+            warnings.warn(
+                "Solver option '{}' has no JAX-IPM mapping and is "
+                'ignored (output/print options have no meaning here; '
+                'use set_solver_options for native options).'
+                .format(name), stacklevel=2)
 
     def set_solver_options(self, factor_dtype=None, kkt_method=None,
                            **kwargs):
@@ -416,8 +422,14 @@ class Problem:
 
     def check_bounds_conflict(self, free):
         """Raises ValueError if the initial guess violates any bound or
-        a lower bound exceeds an upper bound (parity: reference
-        :317-368)."""
+        a lower bound exceeds an upper bound, including reversed
+        eom_bounds (parity: reference :317-368, eom check :343-346)."""
+        if self._eom_bounds is not None:
+            rev = [k for k, (lo, hi) in self._eom_bounds.items() if lo > hi]
+            if rev:
+                raise ValueError(
+                    'The lower bound(s) for eom_bounds {} is (are) '
+                    'greater than the upper bound(s).'.format(rev))
         lb, ub = self.lower_bound, self.upper_bound
         free = np.asarray(free)
         if np.any(lb > ub):

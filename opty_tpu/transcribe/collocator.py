@@ -378,9 +378,19 @@ class ConstraintCollocator:
                 if func.args[0] == 0:
                     time_idx = 0
                 else:
+                    ratio = func.args[0] / self._time_interval_symbol
+                    # Stricter than the reference (:2190-2204): sympy's
+                    # int(Float(0.5)) truncates, so the reference maps
+                    # e.g. theta(0.5*h) silently to node 0; here any
+                    # numeric non-integer multiple raises too.
+                    if getattr(ratio, 'is_number', False) \
+                            and ratio != sm.Integer(int(ratio)):
+                        raise TypeError(
+                            'Instance constraint {} is not a correct '
+                            'integer multiple of the time interval.'
+                            .format(func))
                     try:
-                        time_idx = int(func.args[0]
-                                       / self._time_interval_symbol)
+                        time_idx = int(ratio)
                     except TypeError as err:
                         raise TypeError(
                             'Instance constraint {} is not a correct '

@@ -59,26 +59,22 @@ def parse_free(free, n, q, N, variable_duration=False):
     constant_values : ndarray, shape(r,)
     time_interval : float (only if variable_duration)
     """
-    len_states = n * N
-    len_specified = q * N
-
-    free_states = free[:len_states].reshape((n, N))
-
+    # Segment layout: [states (n*N) | inputs (q*N) | params (r) | h?].
+    # Works on NumPy and JAX arrays alike (plain slicing/reshape).
+    state_cut, input_cut = n * N, (n + q) * N
+    states = free[:state_cut].reshape((n, N))
+    # Reference quirk kept for parity (opty/utils.py:277-326): a single
+    # unknown input comes back 1-D, several come back (q, N).
     if q == 0:
-        free_specified = None
+        specified = None
+    elif q == 1:
+        specified = free[state_cut:input_cut]
     else:
-        free_specified = free[len_states:len_states + len_specified]
-        if q > 1:
-            free_specified = free_specified.reshape((q, N))
-
+        specified = free[state_cut:input_cut].reshape((q, N))
+    tail = free[input_cut:]
     if variable_duration:
-        free_time_interval = free[-1]
-        free_constants = free[len_states + len_specified:-1]
-        return (free_states, free_specified, free_constants,
-                free_time_interval)
-    else:
-        free_constants = free[len_states + len_specified:]
-        return free_states, free_specified, free_constants
+        return states, specified, tail[:-1], tail[-1]
+    return states, specified, tail
 
 
 def create_objective_function(objective, state_symbols,
@@ -190,16 +186,18 @@ def sum_of_sines(sigma, frequencies, time):
     -------
     sines, sines_prime, sines_double_prime : ndarrays shape(n,)
     """
-    phases = 2.0 * np.pi * np.random.ranf(len(frequencies))
-    sines = np.zeros_like(time)
-    sines_prime = np.zeros_like(time)
-    sines_double_prime = np.zeros_like(time)
+    w = np.atleast_1d(np.asarray(frequencies, dtype=float))
+    t = np.asarray(time, dtype=float)
+    phase = 2.0 * np.pi * np.random.ranf(w.shape)
     amplitude = sigma / 2.0
-    for w, p in zip(frequencies, phases):
-        sines += amplitude * np.sin(w * time + p)
-        sines_prime += amplitude * w * np.cos(w * time + p)
-        sines_double_prime -= amplitude * w ** 2 * np.sin(w * time + p)
-    return sines, sines_prime, sines_double_prime
+    # One (n_freq, n_time) phase grid; the three series are its sine,
+    # frequency-weighted cosine, and frequency^2-weighted negative sine,
+    # summed over the frequency axis.
+    arg = np.outer(w, t) + phase[:, None]
+    sin_a, cos_a = np.sin(arg), np.cos(arg)
+    return (amplitude * sin_a.sum(axis=0),
+            amplitude * (w[:, None] * cos_a).sum(axis=0),
+            -amplitude * (w[:, None] ** 2 * sin_a).sum(axis=0))
 
 
 def controllable(a, b):

@@ -65,6 +65,13 @@ class TestBounds:
         with pytest.raises(ValueError, match='eom_bounds'):
             make_problem(eom_bounds={7: (0.0, 1.0)})
 
+    def test_reversed_eom_bounds(self):
+        """Reversed eom_bounds are caught by check_bounds_conflict
+        (parity: opty/direct_collocation.py:343-346)."""
+        prob = make_problem(eom_bounds={1: (2.0, -2.0)})
+        with pytest.raises(ValueError, match='greater'):
+            prob.check_bounds_conflict(np.zeros(prob.num_free))
+
 
 class TestExtraction:
     def test_extract_and_fill(self):
@@ -149,7 +156,8 @@ class TestAddOption:
         assert prob._ipm_options.max_iter == 123
         prob.add_option('tol', 1e-6)
         assert prob._ipm_options.tol == 1e-6
-        prob.add_option('output_file', 'foo.txt')  # accepted, ignored
+        with pytest.warns(UserWarning, match='no JAX-IPM mapping'):
+            prob.add_option('output_file', 'foo.txt')  # accepted, ignored
 
     def test_objective_argument_validation(self):
         with pytest.raises(ValueError, match='one or two'):
@@ -157,6 +165,36 @@ class TestAddOption:
                     known_parameter_map={m: 1.0, c: 0.5, k: 2.0},
                     known_trajectory_map={F: np.zeros(N)},
                     time_symbol=t)
+
+
+def test_non_integer_instance_time_rejected():
+    """theta(0.5*h) must raise, not silently truncate to node 0
+    (stricter than the reference, which int()-truncates sympy Floats;
+    opty/direct_collocation.py:2190-2204)."""
+    h = sm.Symbol('h')
+    obj, obj_grad = create_objective_function(
+        sm.Integral(F ** 2, t), (x, v), (F,), tuple(), N, h,
+        time_symbol=t)
+    for bad_time in (0.5 * h, sm.Rational(3, 2) * h):
+        with pytest.raises(TypeError, match='integer multiple'):
+            Problem(obj, obj_grad, EOM, (x, v), N, h,
+                    known_parameter_map={m: 1.0, c: 0.5, k: 2.0},
+                    instance_constraints=(x.subs(t, bad_time) - 1.0,),
+                    time_symbol=t)
+    # integer multiples still accepted
+    Problem(obj, obj_grad, EOM, (x, v), N, h,
+            known_parameter_map={m: 1.0, c: 0.5, k: 2.0},
+            instance_constraints=(x.subs(t, 3 * h) - 1.0,),
+            time_symbol=t)
+
+
+def test_resample_outside_measured_range_raises():
+    from opty_tpu.parameter_identification import _resample
+    tm = np.linspace(0.0, 1.0, 11)
+    ym = np.zeros((11, 2))
+    _resample(tm, ym, np.linspace(0.0, 1.0, 5))  # inside: ok
+    with pytest.raises(ValueError, match='outside the measured'):
+        _resample(tm, ym, np.linspace(0.0, 1.5, 5))
 
 
 def test_missing_derivative_rejected():
