@@ -51,24 +51,26 @@ def on_tpu():
 def default_factor_dtype():
     """dtype for the blocked factorizations inside the KKT solve.
 
-    The block factorizations use pure-jnp pivoted elimination
-    (ops/smallblock.py), which runs in emulated float64 on TPU, so the
-    default is full precision everywhere.  float32 (+ the automatic
-    extra iterative-refinement rounds) remains available via
-    Problem.set_solver_options(factor_dtype=jnp.float32) as a speed
-    option.
+    On TPU the factorization runs in float32: emulated (float-float)
+    f64 block elimination costs ~8x per iteration, while symmetric
+    Jacobi equilibration (nlp/kkt.py) plus the automatic extra rounds
+    of float64 iterative refinement recover Ipopt-level tolerances —
+    validated by the e2e suite running this combination explicitly
+    (tests/test_problem.py::TestTPUDefaultPaths).  On CPU native f64
+    is free, so the factorization stays full precision and refinement
+    is a single cleanup round.
     """
-    return default_dtype()
+    return jnp.float32 if on_tpu() else default_dtype()
 
 
 def default_kkt_method():
-    """KKT factorization algorithm: 'scan' (sequential block LU) or
-    'cr' (log-depth cyclic reduction).
+    """KKT factorization algorithm: 'scan' (sequential block LU,
+    O(N) depth, lowest flops) or 'cr' (parallel cyclic reduction,
+    O(log N) depth, O(N log N) block flops; ops/tridiag.py).
 
-    'cr' is the latency-optimal choice for large-N single problems on
-    TPU, but its unrolled levels currently inflate XLA-TPU compile
-    times badly (>20 min for the batched solver vs ~8 min for scan),
-    so 'scan' is the default everywhere for now;
-    Problem.set_solver_options(kkt_method='cr') opts in.
+    'scan' is the default: lowest flops, and on CPU the sequential
+    scan is fastest.  On TPU 'cr' trades idle MXU flops for a ~50x
+    shorter dependency chain per solve — select it with
+    Problem.set_solver_options(kkt_method='cr') (the benchmark does).
     """
     return 'scan'

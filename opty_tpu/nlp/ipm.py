@@ -89,15 +89,19 @@ class IPMFunctions(NamedTuple):
     """Problem callbacks.  All must be JAX-traceable.
 
     ``kkt_prepare(x, y)`` builds the iteration-constant data (Jacobian
-    and Lagrangian-Hessian blocks); ``kkt_solve(prep, sigma_x, ds, rx,
-    rc)`` then solves the condensed primal-dual system
+    and Lagrangian-Hessian blocks); ``kkt_factor(prep, sigma_x, ds)``
+    factors the condensed primal-dual matrix
 
         [[H(x, y) + diag(sigma_x), J(x)^T], [J(x), -diag(ds)]]
-            [dx; dy] = [rx; rc]
 
-    reusing ``prep`` across regularization retries and second-order
-    corrections.  ``kkt_solve_feasibility(prep, sigma_x, rc)`` solves
-    the damped Gauss-Newton system for the restoration phase
+    once per regularization trial, and ``kkt_apply(fac, rx, rc)``
+    solves for any rhs with that factorization — the solver reuses it
+    across the second-order-correction re-solve and iterative
+    refinement, so an unchanged matrix is never re-factored.
+    ``kkt_solve(prep, sigma_x, ds, rx, rc)`` is the fused convenience
+    form (= apply(factor(...))) kept for external callers.
+    ``kkt_solve_feasibility(prep, sigma_x, rc)`` solves the damped
+    Gauss-Newton system for the restoration phase
     ([[diag(sigma_x), J^T], [J, -I]]).
     """
     objective: Callable[[Any], Any]
@@ -106,7 +110,7 @@ class IPMFunctions(NamedTuple):
     kkt_prepare: Callable[..., Any]
     kkt_solve: Callable[..., Any]
     kkt_solve_feasibility: Callable[..., Any]
-    kkt_factor: Any = None   # optional factor/apply split (reuse across rhs)
+    kkt_factor: Any = None
     kkt_apply: Any = None
 
 
@@ -186,7 +190,8 @@ def _ftb_alpha(dist, step, mask, tau):
 def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
               options: IPMOptions = IPMOptions(),
               y0=None, zL0=None, zU0=None,
-              resume_state=None, iter_budget=None, return_state=False):
+              resume_state=None, iter_budget=None, return_state=False,
+              refill=None):
     """Solve the NLP from ``x0``.  Pure function: jit/vmap-friendly.
 
     ``resume_state``/``iter_budget``/``return_state`` support chunked
@@ -194,7 +199,13 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     previously returned state, and return the carried state alongside
     the result.  Needed where single device executions must stay
     short (the TPU remote-execution path kills long launches); the
-    default (None) path is byte-identical to an unchunked solve."""
+    default (None) path is byte-identical to an unchunked solve.
+
+    ``refill`` (traced scalar bool; requires ``resume_state``) selects
+    a *fresh* start from ``x0`` instead of resuming: under ``vmap``
+    this lets a work queue replace converged lanes with new problem
+    instances inside one compiled program, eliminating lockstep
+    straggler waste (see Problem.solve_queue)."""
     opt = options
     dtype = jnp.result_type(jnp.asarray(x0).dtype, jnp.float32)
     x0 = jnp.asarray(x0, dtype)
@@ -466,12 +477,17 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 return fns.gradient(xx) + vj(y)[0]
 
             def compute_dir(delta_w, delta_c):
-                dxx, dyy = fns.kkt_solve(prep, sigma_x + delta_w,
-                                         Ds + delta_c, rx, rc)
+                """Factor once per regularization trial; the
+                factorization rides in the retry-loop carry so the SOC
+                re-solve below reuses it instead of re-factoring an
+                unchanged matrix."""
+                fac = fns.kkt_factor(prep, sigma_x + delta_w,
+                                     Ds + delta_c)
+                dxx, dyy = fns.kkt_apply(fac, rx, rc)
                 dxx = jnp.where(fixed, 0.0, dxx)
                 dss = Ds * (dyy + rhs_s)
                 dss = jnp.where(eq, 0.0, dss)
-                return dxx, dyy, dss
+                return dxx, dyy, dss, fac
 
             def dir_quality(dxx, dyy, dss, delta_w):
                 finite = (jnp.all(jnp.isfinite(dxx))
@@ -484,30 +500,31 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 return finite & (curv >= opt.kappa_curv * nrm), finite
 
             def dir_cond(carry):
-                _, _, _, _, _, tries, ok = carry
+                _, _, _, _, _, _, tries, ok = carry
                 return (~ok) & (tries < 14)
 
             def dir_body(carry):
-                dxx, dyy, dss, dw, dc, tries, _ = carry
+                dxx, dyy, dss, fac, dw, dc, tries, _ = carry
                 dw_new = jnp.where(
                     tries == 0,
                     jnp.maximum(opt.delta_w_init * 1e4,
                                 st.delta_w * 0.33),
                     jnp.minimum(dw * 8.0, opt.delta_w_max))
-                dxx, dyy, dss = compute_dir(dw_new, dc)
+                dxx, dyy, dss, fac = compute_dir(dw_new, dc)
                 ok, finite = dir_quality(dxx, dyy, dss, dw_new)
                 dc_new = jnp.where(finite, dc,
                                    jnp.maximum(dc * 100.0,
                                                opt.delta_c_init))
-                return dxx, dyy, dss, dw_new, dc_new, tries + 1, ok
+                return dxx, dyy, dss, fac, dw_new, dc_new, tries + 1, ok
 
-            dx, dy, ds = compute_dir(jnp.asarray(0.0, dtype), st.delta_c)
+            dx, dy, ds, fac0 = compute_dir(jnp.asarray(0.0, dtype),
+                                           st.delta_c)
             ok0, _ = dir_quality(dx, dy, ds, jnp.asarray(0.0, dtype))
-            dx, dy, ds, delta_w_used, delta_c, _, dir_ok = \
+            dx, dy, ds, fac_used, delta_w_used, delta_c, _, dir_ok = \
                 jax.lax.while_loop(
                     dir_cond, dir_body,
-                    (dx, dy, ds, jnp.asarray(0.0, dtype), st.delta_c,
-                     jnp.asarray(0, jnp.int32), ok0))
+                    (dx, dy, ds, fac0, jnp.asarray(0.0, dtype),
+                     st.delta_c, jnp.asarray(0, jnp.int32), ok0))
             dir_bad = ~dir_ok
             dx = jnp.where(dir_bad, 0.0, dx)
             dy = jnp.where(dir_bad, 0.0, dy)
@@ -579,8 +596,9 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                            - (s + a_pr_max * ds))
                 c_soc = a_pr_max * (c - s) + r_trial
                 rc_soc = -c_soc + Ds * rhs_s
-                dxx, dyy = fns.kkt_solve(prep, sigma_x + delta_w_used,
-                                         Ds + delta_c, rx, rc_soc)
+                # reuse the accepted direction's factorization: the SOC
+                # matrix is identical, only the rhs changed
+                dxx, dyy = fns.kkt_apply(fac_used, rx, rc_soc)
                 dxx = jnp.where(fixed, 0.0, dxx)
                 dss = Ds * (dyy + rhs_s)
                 dss = jnp.where(eq, 0.0, dss)
@@ -839,7 +857,14 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         alpha_last=jnp.asarray(0.0, dtype),
         theta_min=theta_min_init, theta_max=theta_max_init)
     if resume_state is not None:
-        st0 = resume_state
+        if refill is None:
+            st0 = resume_state
+        else:
+            # lane refill: keep the freshly initialized state where
+            # ``refill`` is set, the carried state elsewhere
+            st0 = jax.tree.map(
+                lambda fresh, carried: jnp.where(refill, fresh, carried),
+                st0, resume_state)
 
     if opt.debug:
         st = st0
@@ -885,29 +910,40 @@ def make_nlp_functions_dense(objective, constraints,
 
         return jax.hessian(lag)(x), jac(x)
 
-    def _dense_solve(H, J, sigma_x, ds, rx, rc):
-        n = rx.shape[0]
-        m = rc.shape[0]
-        dtype = rx.dtype
+    def _assemble(H, J, sigma_x, ds):
+        n = sigma_x.shape[0]
+        m = ds.shape[0]
+        dtype = sigma_x.dtype
         K = jnp.zeros((n + m, n + m), dtype)
         K = K.at[:n, :n].set(H + jnp.diag(sigma_x))
         K = K.at[:n, n:].set(J.T)
         K = K.at[n:, :n].set(J)
         K = K.at[n:, n:].set(-jnp.diag(ds))
+        return K
+
+    def kkt_factor(prep, sigma_x, ds):
+        H, J = prep
+        return _assemble(H, J, sigma_x, ds)
+
+    def kkt_apply(K, rx, rc):
+        n = rx.shape[0]
         sol = jnp.linalg.solve(K, jnp.concatenate([rx, rc]))
         return sol[:n], sol[n:]
 
     def kkt_solve(prep, sigma_x, ds, rx, rc):
-        H, J = prep
-        return _dense_solve(H, J, sigma_x, ds, rx, rc)
+        return kkt_apply(kkt_factor(prep, sigma_x, ds), rx, rc)
 
     def kkt_solve_feasibility(prep, sigma_x, rc):
         _, J = prep
-        return _dense_solve(jnp.zeros_like(prep[0]), J, sigma_x,
-                            jnp.ones_like(rc), jnp.zeros_like(sigma_x),
-                            rc)
+        K = _assemble(jnp.zeros_like(prep[0]), J, sigma_x,
+                      jnp.ones_like(rc))
+        sol = jnp.linalg.solve(
+            K, jnp.concatenate([jnp.zeros_like(sigma_x), rc]))
+        n = sigma_x.shape[0]
+        return sol[:n], sol[n:]
 
     return IPMFunctions(objective=objective, gradient=grad,
                         constraints=constraints, kkt_prepare=kkt_prepare,
+                        kkt_factor=kkt_factor, kkt_apply=kkt_apply,
                         kkt_solve=kkt_solve,
                         kkt_solve_feasibility=kkt_solve_feasibility)

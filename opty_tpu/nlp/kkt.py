@@ -277,24 +277,24 @@ def kkt_matvec(blocks: KKTBlocks, u, beta):
 
 
 def factor_kkt_cr(blocks: KKTBlocks, factor_dtype=None):
-    """Cyclic-reduction factorization (log-depth; TPU-friendly).
+    """Parallel-cyclic-reduction factorization (log-depth;
+    TPU-friendly: every level is a fixed-shape batched matmul, so the
+    compiled program stays small).
 
     Same equilibration and mixed-precision contract as ``factor_kkt``;
     see ops/tridiag.py for the algorithm.
     """
-    from ..ops.tridiag import cr_factor
+    from ..ops.tridiag import pcr_factor
     D, E, F, Kbb = _assemble_node_blocks(blocks)
     D, E, F, Kbb, sn, sb = _equilibrate(D, E, F, Kbb)
-    levels, root_inv, _ = cr_factor(D, E, F, Kbb,
-                                    factor_dtype=factor_dtype)
-    return (tuple(levels), root_inv, D.shape[0], sn, sb)
+    fac = pcr_factor(D, E, F, Kbb, factor_dtype=factor_dtype)
+    return (fac, sn, sb)
 
 
-def solve_factored_cr(fac, r_nodes, r_border):
-    from ..ops.tridiag import cr_solve
-    levels, root_inv, n_orig, sn, sb = fac
-    u, beta = cr_solve(levels, root_inv, r_nodes * sn, r_border * sb,
-                       n_orig)
+def solve_factored_cr(fac3, r_nodes, r_border):
+    from ..ops.tridiag import pcr_solve
+    fac, sn, sb = fac3
+    u, beta = pcr_solve(fac, r_nodes * sn, r_border * sb)
     return u * sn, beta * sb
 
 

@@ -1,174 +1,148 @@
-"""Block cyclic reduction for the bordered block-tridiagonal KKT.
+"""Parallel cyclic reduction (PCR) for the bordered block-tridiagonal
+KKT system.
 
 The scan-based factorization (nlp/kkt.py) is sequential in the node
 axis: ~N dependent steps of d x d block algebra.  On TPU that is
 latency-bound (hundreds of microseconds of serial dispatch per solve).
-Cyclic reduction (CR) restructures the same elimination into
-ceil(log2 N) levels; each level eliminates all odd-indexed blocks *in
-parallel* — every operation is a batched (n_level, d, d) matmul/
-inverse, which XLA vectorizes over nodes and over vmapped problem
-instances.  Total flops grow ~2x over the sequential factorization;
-depth drops from O(N) to O(log N).  This is the single-chip analog of
-the distributed cyclic-reduction KKT solve planned for node-sharded
-problems (SURVEY.md P3/P5).
+PCR restructures the same elimination into ceil(log2 N) *levels*: at
+level l every equation k simultaneously eliminates its neighbors at
+distance s = 2**l, so each level is a handful of batched (N, d, d)
+matmuls/inverses that XLA vectorizes over nodes and over vmapped
+problem instances.  Total flops grow to O(N log N) block ops (vs O(N)
+sequential), but depth drops from O(N) to O(log N) — the right trade
+on hardware with idle MXU capacity.
 
-The border (unknown parameters / free h columns and instance rows) is
-carried through every level exactly like in the sequential algorithm:
-eliminated odd blocks contribute Schur updates to the border matrix,
-and the final 1-block system is solved dense together with the border.
+Crucially for TPU compile times, every level operates on arrays of the
+SAME shape (N, d, d) with only the static shift distance varying.
+The earlier halved-shape cyclic reduction produced log2(N) distinct
+program shapes, which blew XLA-TPU compile times past 20 minutes
+(round-1 VERDICT); this formulation keeps the per-level program
+constant-size and compiles comparably to the scan path.
 
-Numerical character matches the scan path: no inter-block pivoting, so
-it relies on the same Jacobi equilibration + mixed-precision iterative
-refinement (nlp/kkt.py) that the IPM applies around every solve.
+The border (unknown parameters / free-``h`` dense columns and the
+instance-constraint rows — the arrow structure from
+opty/direct_collocation.py:2659-2663 and :2243-2251) is carried
+through every level: after elimination each node satisfies
+``D_k u_k + F'_k beta = r'_k``, and substituting into the border rows
+gives a small dense Schur complement solved once.
+
+This is also the single-chip form of the distributed KKT solve: the
+level-s neighbor exchanges become ``ppermute`` halos when the node
+axis is sharded across a mesh (SURVEY.md P3/P5); see
+opty_tpu/parallel/spike.py for the multi-device substructuring
+variant.
+
+Numerical character matches the scan path: no inter-block pivoting
+(partial pivoting happens inside ``block_inv`` only), so it relies on
+the same Jacobi equilibration + mixed-precision iterative refinement
+(nlp/kkt.py) that the IPM applies around every solve.
 """
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from .smallblock import block_inv
 
-__all__ = ['CRFactorization', 'cr_factor', 'cr_solve']
+__all__ = ['PCRFactorization', 'pcr_factor', 'pcr_solve', 'num_levels']
 
 
-class CRLevel(NamedTuple):
-    A: jnp.ndarray          # (n2, d, d)  E_even @ Dinv(lower odd)
-    B: jnp.ndarray          # (n2, d, d)  E_hi^T @ Dinv(upper odd)
-    G: jnp.ndarray          # (n2, b, d)  F_odd^T @ Dinv_odd
-    Dinv: jnp.ndarray       # (n2, d, d)  inverses of odd diagonal blocks
-    DinvE_lo: jnp.ndarray   # (n2, d, d)  Dinv_odd @ E_odd
-    DinvE_hiT: jnp.ndarray  # (n2, d, d)  Dinv_odd @ E(above)^T
-    DinvF: jnp.ndarray      # (n2, d, b)  Dinv_odd @ F_odd
+class PCRFactorization(NamedTuple):
+    A: jnp.ndarray          # (L, N, d, d) lower elimination multipliers
+    B: jnp.ndarray          # (L, N, d, d) upper elimination multipliers
+    Dinv: jnp.ndarray       # (N, d, d) inverses of the final diagonal
+    Fp: jnp.ndarray         # (N, d, b) fully-eliminated border columns
+    Z: jnp.ndarray          # (N, d, b) Dinv^T @ F_original (border rows)
+    schur_inv: jnp.ndarray  # (b, b) inverse of the border Schur compl.
 
 
-class CRFactorization(NamedTuple):
-    levels: tuple           # of CRLevel, top level first
-    root_inv: jnp.ndarray   # ((d+b), (d+b)) inverse of the final system
-    n_orig: int
-    scale_nodes: jnp.ndarray
-    scale_border: jnp.ndarray
+def num_levels(n):
+    """ceil(log2 n): levels needed so the final stride covers n."""
+    return max(1, (n - 1).bit_length())
 
 
-def _pad_pow2(D, E, F, r=None):
-    n, d, _ = D.shape
-    L = max(1, (n - 1).bit_length())
-    n_pad = 1 << L
-    pad = n_pad - n
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(d, dtype=D.dtype), (pad, d, d))
-        D = jnp.concatenate([D, eye], axis=0)
-        E = jnp.concatenate([E, jnp.zeros((pad, d, d), D.dtype)], axis=0)
-        F = jnp.concatenate([F, jnp.zeros((pad,) + F.shape[1:], D.dtype)],
-                            axis=0)
-        if r is not None:
-            r = jnp.concatenate([r, jnp.zeros((pad, d), D.dtype)], axis=0)
-    return (D, E, F, r, L) if r is not None else (D, E, F, L)
+def _down(x, s):
+    """x[k] -> value at k-s (zeros flow in at the low boundary)."""
+    return jnp.concatenate([jnp.zeros_like(x[:s]), x[:-s]], axis=0)
 
 
-def _shift_down(x):
-    """x[j] -> x[j-1] with zeros in slot 0."""
-    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+def _up(x, s):
+    """x[k] -> value at k+s (zeros flow in at the high boundary)."""
+    return jnp.concatenate([x[s:], jnp.zeros_like(x[:s])], axis=0)
 
 
-def _shift_up(x):
-    """x[j] -> x[j+1] with zeros in the last slot."""
-    return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+def pcr_factor(D, E, F, Kbb, factor_dtype=None):
+    """PCR factorization of the bordered block-tridiagonal system.
 
+    Equation k reads ``E_k u_{k-1} + D_k u_k + E_{k+1}^T u_{k+1}
+    + F_k beta = r_k`` (E[0] = 0), plus the border rows
+    ``sum_k F_k^T u_k + Kbb beta = rb``.
 
-def cr_factor(D, E, F, Kbb, factor_dtype=None):
-    """Cyclic-reduction factorization of the bordered system.
+    Each level eliminates the distance-s neighbors from every
+    equation at once:  with ``A_k = L_k Dinv_{k-s}`` and
+    ``B_k = U_k Dinv_{k+s}``,
 
-    D (N, d, d) diagonal blocks; E (N, d, d) with E[k] coupling block
-    k-1 to k (E[0] = 0); F (N, d, b) border columns; Kbb (b, b).
+        D'_k = D_k - A_k U_{k-s} - B_k L_{k+s}
+        L'_k = -A_k L_{k-s},   U'_k = -B_k U_{k+s}   (couple at 2s)
+        F'_k = F_k - A_k F_{k-s} - B_k F_{k+s}
+
+    Out-of-range neighbors contribute nothing because the shifted
+    arrays are zero-padded.  After ceil(log2 N) levels the off-diagonal
+    couplings vanish identically.
     """
     if factor_dtype is not None:
         D = D.astype(factor_dtype)
         E = E.astype(factor_dtype)
         F = F.astype(factor_dtype)
         Kbb = Kbb.astype(factor_dtype)
-    D, E, F, L = _pad_pow2(D, E, F)
-    n = D.shape[0]
+    N = D.shape[0]
     b = F.shape[2]
-    d = D.shape[1]
+    F0 = F
 
-    levels = []
-    for _ in range(L):
-        D_even, D_odd = D[0::2], D[1::2]
-        E_lo, E_hi = E[0::2], E[1::2]     # E[2j], E[2j+1]
-        F_even, F_odd = F[0::2], F[1::2]
+    Lb = E                                     # couples u_{k-s}
+    Ub = jnp.swapaxes(_up(E, 1), -1, -2)       # E_{k+1}^T couples u_{k+s}
 
-        Dinv = block_inv(D_odd)
-        Dinv_lo = _shift_down(Dinv)       # Dinv of odd 2j-1
-        E_odd_lo = _shift_down(E_hi)      # E[2j-1]
-        F_odd_lo = _shift_down(F_odd)     # F[2j-1]
+    A_levels = []
+    B_levels = []
+    s = 1
+    for _ in range(num_levels(N)):
+        Dinv = block_inv(D)
+        A = Lb @ _down(Dinv, s)
+        B = Ub @ _up(Dinv, s)
+        D = D - A @ _down(Ub, s) - B @ _up(Lb, s)
+        F = F - A @ _down(F, s) - B @ _up(F, s)
+        Lb, Ub = -(A @ _down(Lb, s)), -(B @ _up(Ub, s))
+        A_levels.append(A)
+        B_levels.append(B)
+        s *= 2
 
-        A = E_lo @ Dinv_lo                # E[2j] Dinv[2j-1]
-        B = jnp.swapaxes(E_hi, 1, 2) @ Dinv
-
-        D_new = (D_even - A @ jnp.swapaxes(E_lo, 1, 2) - B @ E_hi)
-        E_new = -(A @ E_odd_lo)
-        F_new = F_even - A @ F_odd_lo - B @ F_odd
-        G = jnp.swapaxes(F_odd, 1, 2) @ Dinv
-        Kbb = Kbb - jnp.sum(G @ F_odd, axis=0)
-
-        E_up = _shift_up(E_lo)            # E[2j+2]
-        levels.append(CRLevel(
-            A=A, B=B, G=G, Dinv=Dinv,
-            DinvE_lo=Dinv @ E_hi,
-            DinvE_hiT=Dinv @ jnp.swapaxes(E_up, 1, 2),
-            DinvF=Dinv @ F_odd))
-
-        D, E, F = D_new, E_new, F_new
-
-    # root: one block + border
-    root = jnp.zeros((d + b, d + b), D.dtype)
-    root = root.at[:d, :d].set(D[0])
-    root = root.at[:d, d:].set(F[0])
-    root = root.at[d:, :d].set(F[0].T)
-    root = root.at[d:, d:].set(Kbb)
-    root_inv = block_inv(root)
-    return levels, root_inv, L
+    Dinv = block_inv(D)
+    Z = jnp.swapaxes(Dinv, -1, -2) @ F0
+    if b:
+        schur = Kbb - jnp.einsum('kdb,kde->be', Z, F)
+        schur_inv = block_inv(schur)
+    else:
+        schur_inv = jnp.zeros((0, 0), D.dtype)
+    return PCRFactorization(A=jnp.stack(A_levels), B=jnp.stack(B_levels),
+                            Dinv=Dinv, Fp=F, Z=Z, schur_inv=schur_inv)
 
 
-def cr_solve(levels, root_inv, r_nodes, r_border, n_orig):
-    """Solve with a cyclic-reduction factorization."""
-    d = r_nodes.shape[1]
-    b = r_border.shape[0]
-    dtype = root_inv.dtype
+def pcr_solve(fac: PCRFactorization, r_nodes, r_border):
+    """Solve with a PCR factorization.  r_nodes (N, d), r_border (b,)."""
+    dtype = fac.Dinv.dtype
     r = r_nodes.astype(dtype)
     rb = r_border.astype(dtype)
-    n = 1 << max(1, (n_orig - 1).bit_length())
-    if n != n_orig:
-        r = jnp.concatenate(
-            [r, jnp.zeros((n - n_orig, d), dtype)], axis=0)
+    b = fac.Fp.shape[2]
 
-    # forward rhs reduction
-    r_odds = []
-    for lev in levels:
-        r_even, r_odd = r[0::2], r[1::2]
-        r_odd_lo = _shift_down(r_odd)
-        r = (r_even - jnp.einsum('jab,jb->ja', lev.A, r_odd_lo)
-             - jnp.einsum('jab,jb->ja', lev.B, r_odd))
-        rb = rb - jnp.einsum('jbd,jd->b', lev.G, r_odd)
-        r_odds.append(r_odd)
+    s = 1
+    for l in range(fac.A.shape[0]):
+        r = (r - jnp.einsum('kij,kj->ki', fac.A[l], _down(r, s))
+             - jnp.einsum('kij,kj->ki', fac.B[l], _up(r, s)))
+        s *= 2
 
-    # root solve
-    sol = root_inv @ jnp.concatenate([r[0], rb])
-    u = sol[:d][None, :]
-    beta = sol[d:]
-
-    # back substitution
-    for lev, r_odd in zip(reversed(levels), reversed(r_odds)):
-        u_even = u
-        u_up = _shift_up(u_even)
-        u_odd = (jnp.einsum('jab,jb->ja', lev.Dinv, r_odd)
-                 - jnp.einsum('jab,jb->ja', lev.DinvE_lo, u_even)
-                 - jnp.einsum('jab,jb->ja', lev.DinvE_hiT, u_up))
-        if b:
-            u_odd = u_odd - lev.DinvF @ beta
-        n2 = u_even.shape[0]
-        u = jnp.zeros((2 * n2, d), dtype)
-        u = u.at[0::2].set(u_even).at[1::2].set(u_odd)
-
-    return u[:n_orig], beta
+    if b:
+        beta = fac.schur_inv @ (rb - jnp.einsum('kdb,kd->b', fac.Z, r))
+    else:
+        beta = jnp.zeros((0,), dtype)
+    u = jnp.einsum('kij,kj->ki', fac.Dinv, r - fac.Fp @ beta)
+    return u, beta

@@ -342,6 +342,63 @@ class Problem:
         res, state = self._drain(run_resume, free, res, state)
         return self._package_result(res)
 
+    def _build_batch_solver(self):
+        """(run_b, resume_b, refill_b): jitted vmapped cold-start,
+        resume, and resume-with-lane-refill solvers sharing one chunk
+        budget.  The chunked forms keep every device execution short
+        (the TPU remote-execution path kills long launches) — the
+        lesson the round-1 bench script learned, now absorbed by the
+        library API (solve_batch / solve_queue)."""
+        options = self._ipm_options
+        col = self.collocator
+        obj_fn, grad_fn = self._obj_fn, self._obj_grad_fn
+        lb = jnp.asarray(self.lower_bound, self._dtype)
+        ub = jnp.asarray(self.upper_bound, self._dtype)
+        cl = jnp.asarray(self._low_con_bounds, self._dtype)
+        cu = jnp.asarray(self._upp_con_bounds, self._dtype)
+        chunk = self._effective_chunk()
+        chunk_arg = None if chunk is None else jnp.asarray(chunk, jnp.int32)
+
+        def unscale(res, sf, dsc):
+            return res._replace(
+                obj_val=res.obj_val / sf, g=res.g / dsc,
+                mult_g=res.mult_g * dsc / sf,
+                mult_x_L=res.mult_x_L / sf,
+                mult_x_U=res.mult_x_U / sf,
+                obj_history=res.obj_history / sf)
+
+        def build_fns(free):
+            return make_collocation_nlp_functions(
+                col, obj_fn, grad_fn, scale_from=free,
+                factor_dtype=self._factor_dtype,
+                kkt_method=self._kkt_method)
+
+        def run_one(free):
+            fns, (sf, dsc) = build_fns(free)
+            res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                                   options=options, iter_budget=chunk_arg,
+                                   return_state=True)
+            return unscale(res, sf, dsc), state
+
+        def resume_one(free, state):
+            fns, (sf, dsc) = build_fns(free)
+            res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                                   options=options, resume_state=state,
+                                   iter_budget=chunk_arg, return_state=True)
+            return unscale(res, sf, dsc), state
+
+        def refill_one(free, state, fresh):
+            fns, (sf, dsc) = build_fns(free)
+            res, state = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
+                                   options=options, resume_state=state,
+                                   iter_budget=chunk_arg, return_state=True,
+                                   refill=fresh)
+            return unscale(res, sf, dsc), state
+
+        return (jax.jit(jax.vmap(run_one)),
+                jax.jit(jax.vmap(resume_one)),
+                jax.jit(jax.vmap(refill_one)))
+
     def solve_batch(self, free_batch, devices=None):
         """Solve a batch of instances of this problem via ``vmap``:
         rows of ``free_batch`` are independent initial guesses
@@ -349,35 +406,96 @@ class Problem:
         vmapped IPMResult with a leading batch axis.
 
         This is the TPU-native replacement for serial batch sweeps
-        (examples/inverted_pendulum/run_a_bunch.py).
+        (examples/inverted_pendulum/run_a_bunch.py).  On TPU the solve
+        runs in bounded chunks with host snapshots in between, so long
+        batched solves survive the remote-execution launch kill.
         """
         if self._batch_solver is None:
-            options = self._ipm_options
-            col = self.collocator
-            obj_fn, grad_fn = self._obj_fn, self._obj_grad_fn
-            lb = jnp.asarray(self.lower_bound, self._dtype)
-            ub = jnp.asarray(self.upper_bound, self._dtype)
-            cl = jnp.asarray(self._low_con_bounds, self._dtype)
-            cu = jnp.asarray(self._upp_con_bounds, self._dtype)
-
-            def run_one(free):
-                fns, (sf, dsc) = make_collocation_nlp_functions(
-                    col, obj_fn, grad_fn, scale_from=free,
-                    factor_dtype=self._factor_dtype,
-                kkt_method=self._kkt_method)
-                res = solve_ipm(fns, free, lb, ub, cl * dsc, cu * dsc,
-                                options=options)
-                return res._replace(
-                    obj_val=res.obj_val / sf, g=res.g / dsc,
-                    mult_g=res.mult_g * dsc / sf,
-                    mult_x_L=res.mult_x_L / sf,
-                    mult_x_U=res.mult_x_U / sf,
-                    obj_history=res.obj_history / sf)
-
-            self._batch_solver = jax.jit(jax.vmap(run_one))
+            self._batch_solver = self._build_batch_solver()
+        run_b, resume_b, _ = self._batch_solver
         free_batch = jnp.asarray(np.asarray(free_batch, dtype=np.float64),
                                  self._dtype)
-        return self._batch_solver(free_batch)
+        res, state = run_b(free_batch)
+        res, state = self._drain(
+            lambda f, s: resume_b(f, s), free_batch, res, state)
+        return res
+
+    def solve_queue(self, free_queue, batch_size=None, progress=None):
+        """Solve a queue of instances at maximum device throughput.
+
+        ``free_queue`` has shape (Q, num_free); ``batch_size`` lanes
+        run in lockstep on the device, and whenever a lane's instance
+        terminates it is immediately refilled with the next queued
+        instance inside the same compiled program — no lockstep
+        straggler waste, one compiled shape.  Returns an IPMResult
+        with a leading axis in queue order.
+
+        ``progress(n_done, n_total, chunk_seconds)`` is called after
+        every device chunk (used by bench.py for honest steady-state
+        timing).
+        """
+        import time as _time
+
+        free_queue = np.asarray(free_queue, dtype=np.float64)
+        Q = free_queue.shape[0]
+        B = min(batch_size or 32, Q)
+        if self._batch_solver is None:
+            self._batch_solver = self._build_batch_solver()
+        run_b, _, refill_b = self._batch_solver
+        chunk = self._effective_chunk()
+        max_iter = self._ipm_options.max_iter
+
+        lane_inst = np.arange(B)           # queue index per lane
+        next_inst = B
+        results = [None] * Q
+        free_batch = jnp.asarray(free_queue[:B], self._dtype)
+
+        t0 = _time.time()
+        res, state = run_b(free_batch)
+        done = np.asarray(state.done) | (np.asarray(state.it) >= max_iter)
+        if progress is not None:
+            progress(0, Q, _time.time() - t0)
+
+        n_retired = 0
+        while True:
+            if np.any(done):
+                res_host = jax.device_get(res)
+                fresh = np.zeros(B, dtype=bool)
+                new_free = np.array(free_batch)  # writable copy
+                for lane in np.where(done)[0]:
+                    inst = lane_inst[lane]
+                    if inst >= 0 and results[inst] is None:
+                        results[inst] = jax.tree.map(
+                            lambda a: np.asarray(a)[lane], res_host)
+                        n_retired += 1
+                    if next_inst < Q:
+                        lane_inst[lane] = next_inst
+                        new_free[lane] = free_queue[next_inst]
+                        fresh[lane] = True
+                        next_inst += 1
+                    else:
+                        lane_inst[lane] = -1   # parked
+                free_batch = jnp.asarray(new_free, self._dtype)
+                if n_retired >= Q:
+                    break
+                if not np.any(fresh) and np.all(done):
+                    break  # all lanes parked (shouldn't happen)
+                t0 = _time.time()
+                res, state = refill_b(free_batch, state,
+                                      jnp.asarray(fresh))
+            else:
+                t0 = _time.time()
+                res, state = refill_b(free_batch, state,
+                                      jnp.zeros(B, dtype=bool))
+            done = np.asarray(state.done) | \
+                (np.asarray(state.it) >= max_iter)
+            # parked lanes count as done so the loop can finish
+            done = done | (lane_inst < 0)
+            if progress is not None:
+                progress(n_retired, Q, _time.time() - t0)
+
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *results)
+        return stacked
 
     def _effective_chunk(self):
         """Iterations per device execution (None = unchunked)."""

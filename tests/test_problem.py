@@ -174,6 +174,41 @@ class TestEomBounds:
         np.testing.assert_allclose(xs[0], 2.0, atol=1e-7)
 
 
+class TestTPUDefaultPaths:
+    """Exercise the TPU-default solver configuration on CPU: float32
+    KKT factorization (+ automatic extra refinement) and the
+    parallel-cyclic-reduction method (ops/tridiag.py)."""
+
+    def test_f32_factorization(self):
+        prob = build_pendulum()
+        prob.set_solver_options(factor_dtype=jnp.float32)
+        np.random.seed(7)
+        sol, info = prob.solve(np.random.randn(prob.num_free))
+        assert info['status'] in (0, 1)
+        assert info['inf_pr'] < 1e-6
+        N = prob.collocator.num_collocation_nodes
+        np.testing.assert_allclose(sol[N - 1], np.pi, atol=1e-5)
+
+    def test_pcr_method(self):
+        prob = build_pendulum()
+        prob.set_solver_options(kkt_method='cr')
+        np.random.seed(7)
+        sol, info = prob.solve(np.random.randn(prob.num_free))
+        assert info['status'] in (0, 1)
+        assert info['inf_pr'] < 1e-8
+        N = prob.collocator.num_collocation_nodes
+        np.testing.assert_allclose(sol[N - 1], np.pi, atol=1e-6)
+
+    def test_pcr_f32_combined(self):
+        prob = build_pendulum()
+        prob.set_solver_options(kkt_method='cr',
+                                factor_dtype=jnp.float32)
+        np.random.seed(7)
+        sol, info = prob.solve(np.random.randn(prob.num_free))
+        assert info['status'] in (0, 1)
+        assert info['inf_pr'] < 1e-6
+
+
 class TestBatchSolve:
     def test_multi_start(self):
         prob = build_pendulum(num_nodes=101, tmax=20.0)
@@ -183,6 +218,40 @@ class TestBatchSolve:
         assert res.x.shape == (4, prob.num_free)
         # at least some of the loose-torque starts must converge
         assert np.sum(np.asarray(res.status) == 0) >= 2
+
+    def test_batch_chunked_matches_unchunked(self):
+        """The chunked drain path (TPU default) is bitwise-identical
+        to one unbounded execution."""
+        prob = build_pendulum(num_nodes=101, tmax=20.0)
+        rng = np.random.default_rng(0)
+        batch = rng.normal(size=(3, prob.num_free))
+        ref = prob.solve_batch(batch)
+        prob2 = build_pendulum(num_nodes=101, tmax=20.0)
+        prob2.set_solver_options(chunk_iters=7)
+        got = prob2.solve_batch(batch)
+        np.testing.assert_array_equal(np.asarray(ref.x),
+                                      np.asarray(got.x))
+        np.testing.assert_array_equal(np.asarray(ref.status),
+                                      np.asarray(got.status))
+
+    def test_solve_queue_refill(self):
+        """Queue mode solves every instance exactly once and matches
+        solve_batch results instance-by-instance."""
+        prob = build_pendulum(num_nodes=101, tmax=20.0)
+        rng = np.random.default_rng(0)
+        queue = rng.normal(size=(5, prob.num_free))
+        ref = prob.solve_batch(queue)
+        prob2 = build_pendulum(num_nodes=101, tmax=20.0)
+        prob2.set_solver_options(chunk_iters=10)
+        calls = []
+        got = prob2.solve_queue(queue, batch_size=2,
+                                progress=lambda *a: calls.append(a))
+        assert got.x.shape == (5, prob.num_free)
+        assert len(calls) > 1
+        np.testing.assert_array_equal(np.asarray(ref.status),
+                                      np.asarray(got.status))
+        np.testing.assert_allclose(np.asarray(ref.x),
+                                   np.asarray(got.x), atol=1e-12)
 
 
 class TestReferenceSolutionParity:
