@@ -24,10 +24,13 @@ import time
 
 import numpy as np
 
-# Ipopt + opty CPU, single stream.  Measured-component proxy
-# (BASELINE.md "Measured baseline"): reference kernel evals timed in
-# this image + structured-KKT solve + Ipopt iteration counts.
-BASELINE_SOLVES_PER_S = 2.0
+# Ipopt + opty CPU, single stream.  Measured-component baseline
+# (benchmarks/measure_baseline.py, recorded in BASELINE.md): the
+# reference's own transcription kernels timed on this machine + a
+# SuperLU KKT factor+solve at the true sparsity x 40 iterations =
+# 4.09 solves/s.  (The optimistic C-backend bound, evals free, is
+# 19.7/s — see BASELINE.md.)
+BASELINE_SOLVES_PER_S = 4.09
 
 METRIC = 'pendulum_N501_collocation_solves_per_s_per_chip'
 
