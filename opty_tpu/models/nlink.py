@@ -108,7 +108,7 @@ def n_link_cart_eom(num_links, relative=True, joint_torques=True):
 
 def n_link_cart_problem(num_links=9, num_nodes=60, task='reach',
                         force_bound=100.0, torque_bound=50.0,
-                        h_bounds=(0.0, 0.1), duration_weight=0.0,
+                        h_bounds=(0.0, 0.2), duration_weight=0.0,
                         relative=True, joint_torques=True,
                         **problem_kwargs):
     """Variable-duration point-to-point motion of the n-link chain.
@@ -183,8 +183,12 @@ def n_link_initial_guess(prob, q_start, q_end=None, h_guess=None):
     if q_end is None:
         q_end = np.zeros(ncoord)
     if h_guess is None:
-        hb = prob.bounds.get(col.time_interval_symbol, (0.0, 0.1))
-        h_guess = 0.9 * float(np.asarray(hb[1]))
+        # 0.75 of the h range: empirically the most reliable basin for
+        # the minimum-effort optimum (which slows the motion toward
+        # the upper bound); starting at >= 0.9 h_max or <= 0.25 h_max
+        # sends the 5- and 9-link chains into restoration dead ends
+        hb = prob.bounds.get(col.time_interval_symbol, (0.0, 0.2))
+        h_guess = 0.75 * float(np.asarray(hb[1]))
     guess = np.zeros(prob.num_free)
     # smooth-step profile: zero slope at both ends
     srange = 0.5 * (1.0 - np.cos(np.linspace(0.0, np.pi, N)))

@@ -276,58 +276,94 @@ class ConstraintCollocator:
     def _setup_known_trajectories(self):
         """Classify known-trajectory values.
 
-        Three value kinds (superset of the reference's two,
-        opty/direct_collocation.py:2891-2926):
+        Value kinds (superset of the reference's,
+        opty/direct_collocation.py:2891-2926 and the implicit-function
+        machinery :2284-2302 / tests test_implicit_known_traj):
 
         * ndarray shape (N,): fixed per-node values (reference parity);
         * callable for an explicit function of time  f(t): called with
           the free vector, must return shape (N,) and be JAX-traceable;
           treated as *known*, i.e. constant in the constraint Jacobian
-          (``stop_gradient``), matching the reference semantics where
-          such callables contribute no Jacobian entries;
-        * callable for an implicit function of a state  f(x(t)):
-          a *pointwise* JAX-traceable scalar map evaluated inside the
-          per-node kernel.  JAX AD then differentiates through it, which
-          subsumes the reference's symbolic chain-rule machinery
-          (opty/direct_collocation.py:2284-2302) without requiring the
-          user to supply Derivative(f(x), x) arrays.
+          (``stop_gradient``), matching the reference semantics;
+        * callable for an implicit function of a state  f(x(t)) given
+          as a *pointwise* JAX-traceable scalar map: evaluated inside
+          the per-node kernel, differentiated by JAX AD (our native
+          form — no Derivative entry needed);
+        * reference-style implicit *data*: f(x(t)) given as an (N,)
+          array or a callable of the free vector returning (N,),
+          paired with a ``Derivative(f(x), x)`` map entry supplying
+          df/dx values the same way (plot_hilly_race.py:160-184).  The
+          value enters the kernel with the user-supplied slope wired
+          into AD via a straight-through form
+          ``sg(v) + sg(dv) * (x - sg(x))``, reproducing the
+          reference's chain rule exactly (first order; the Hessian
+          contribution of such data terms is zero, like the
+          reference's quasi-Newton setup).
         """
         N = self._num_collocation_nodes
+        tmap = self._known_trajectory_map
+        # Derivative(f(x), x) entries indexed by their base function
+        deriv_of = {key.expr: key for key in tmap
+                    if isinstance(key, sm.Derivative)}
         specs = {}
-        for key, val in self._known_trajectory_map.items():
+
+        def data_spec(key, val):
+            """('array', jnp) or ('free_callable', fn) for (N,) data."""
+            if callable(val) and not isinstance(val, np.ndarray):
+                test = np.asarray(val(np.ones(self.num_free)))
+                if test.shape[-1] != N:
+                    raise ValueError(
+                        'The known parameter {} is not length {}.'
+                        .format(key, N))
+                return ('free_callable', val, None)
+            arr = np.asarray(val, dtype=np.float64)
+            if len(arr) != N:
+                raise ValueError(
+                    'The known parameter {} is not length {}.'.format(
+                        key, N))
+            return ('array', jnp.asarray(arr, self._dtype), None)
+
+        def is_pointwise(val):
+            """Distinguish a pointwise scalar map from a reference-style
+            callable of the free vector by probing the output shape."""
+            if not callable(val) or isinstance(val, np.ndarray):
+                return False
+            try:
+                out = np.asarray(val(np.ones(self.num_free)))
+            except Exception:
+                return True   # rejects a free-vector: pointwise map
+            return out.shape == () or out.shape == (self.num_free,)
+
+        for key, val in tmap.items():
             args = getattr(key, 'args', (self._time_symbol,))
             implicit = (not isinstance(key, sm.Derivative)
                         and len(args) == 1
                         and args[0] != self._time_symbol)
-            if callable(val) and not isinstance(val, (np.ndarray,)):
-                if implicit:
-                    state = key.args[0]
-                    if state not in self._state_symbols:
-                        raise ValueError(
-                            'Implicit function {} must be a function of a '
-                            'state.'.format(key))
-                    specs[key] = ('pointwise', val,
-                                  self._state_symbols.index(state))
-                else:
-                    test = np.asarray(val(np.ones(self.num_free)))
-                    if test.shape[-1] != N:
-                        raise ValueError(
-                            'The known parameter {} is not length {}.'
-                            .format(key, N))
-                    specs[key] = ('free_callable', val, None)
+            if not implicit:
+                # explicit f(t) data, or a Derivative(f(x), x) values
+                # entry (consumed below through its base function but
+                # also carried as a data column for ordering parity)
+                specs[key] = data_spec(key, val)
+                continue
+            state = key.args[0]
+            if state not in self._state_symbols:
+                raise ValueError(
+                    'Implicit function {} must be a function of a '
+                    'state.'.format(key))
+            state_idx = self._state_symbols.index(state)
+            if is_pointwise(val):
+                specs[key] = ('pointwise', val, state_idx)
             else:
-                arr = np.asarray(val, dtype=np.float64)
-                if len(arr) != N:
+                if key not in deriv_of:
                     raise ValueError(
-                        'The known parameter {} is not length {}.'.format(
-                            key, N))
-                if implicit:
-                    raise NotImplementedError(
-                        'Implicit known trajectory {} must be given as a '
-                        'pointwise JAX-traceable callable of the state '
-                        'value (arrays of values cannot be differentiated '
-                        'through).'.format(key))
-                specs[key] = ('array', jnp.asarray(arr, self._dtype), None)
+                        'Implicit known trajectory {} is given as data '
+                        '(array or callable of the free vector); its '
+                        'derivative values must also be provided under '
+                        'the key Derivative({}, {}) — or supply a '
+                        'pointwise JAX-traceable callable instead.'
+                        .format(key, key, state))
+                specs[key] = ('implicit_table', data_spec(key, val),
+                              state_idx, deriv_of[key])
         self._known_traj_specs = specs
 
     def _known_traj_array_values(self, free):
@@ -336,7 +372,10 @@ class ConstraintCollocator:
         N = self._num_collocation_nodes
         cols = []
         for key in self._known_input_trajectories:
-            kind, val, _ = self._known_traj_specs[key]
+            spec = self._known_traj_specs[key]
+            if spec[0] == 'implicit_table':
+                spec = spec[1]      # the base function's data sub-spec
+            kind, val = spec[0], spec[1]
             if kind == 'array':
                 cols.append(val)
             elif kind == 'free_callable':
@@ -489,10 +528,24 @@ class ConstraintCollocator:
                    else jnp.asarray(float(self._node_time_interval),
                                     self._dtype))
 
+        # column index of each implicit-data function's Derivative entry
+        dcol = {key: known_keys.index(spec[3])
+                for key, spec in specs.items()
+                if spec[0] == 'implicit_table'}
+
         def kt_value(key, col, x_node, kt_row):
-            kind, val, state_idx = specs[key]
-            if kind == 'pointwise':
-                return val(x_node[state_idx])
+            spec = specs[key]
+            if spec[0] == 'pointwise':
+                return spec[1](x_node[spec[2]])
+            if spec[0] == 'implicit_table':
+                # straight-through: value from the data column, slope
+                # from the user-supplied Derivative(f(x), x) column —
+                # the reference's chain rule
+                # (opty/direct_collocation.py:2284-2302) in AD form
+                sg = jax.lax.stop_gradient
+                xs = x_node[spec[2]]
+                return sg(kt_row[col]) + sg(kt_row[dcol[key]]) \
+                    * (xs - sg(xs))
             return kt_row[col]
 
         def kernel(z_cur, z_adj, w, idx, kt_cur_row, kt_adj_row):
