@@ -81,6 +81,15 @@ class IPMOptions(NamedTuple):
     rest_reduction: float = 0.1    # exit when theta <= this * entry theta
     max_rest_iters: int = 80       # cumulative restoration iterations
     s_max: float = 100.0
+    # Ipopt's bound_relax_factor: all bounds are relaxed internally by
+    # this relative amount.  Essential for the (common) degenerate
+    # combination of an equality constraint pinning a variable exactly
+    # at its bound (e.g. x(0) = 0 with x >= 0): without relaxation the
+    # barrier fights the equality, the distance collapses to ~mu/z and
+    # the bound multiplier explodes toward kappa_sigma's d-dependent
+    # ceiling.  The final x is projected back onto the original bounds
+    # (Ipopt honor_original_bounds).
+    bound_relax_factor: float = 1e-8
     debug: bool = False  # python-loop execution with per-iter printout
     trace: bool = False  # jax.debug.print per-iteration trace (jit-safe)
 
@@ -228,6 +237,17 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     eq = has_sl & has_su & (cu - cl <= 0.0)
     msL = has_sl & ~eq
     msU = has_su & ~eq
+
+    # keep the user's bounds for the final projection, then relax all
+    # working bounds (see IPMOptions.bound_relax_factor)
+    xl_orig, xu_orig = xl, xu
+    brf = opt.bound_relax_factor
+    if brf:
+        relax = lambda b: brf * jnp.maximum(1.0, jnp.abs(b))
+        xl = jnp.where(mL, xl - relax(xl), xl)
+        xu = jnp.where(mU, xu + relax(xu), xu)
+        cl = jnp.where(msL, cl - relax(cl), cl)
+        cu = jnp.where(msU, cu + relax(cu), cu)
     n_duals = (jnp.sum(mL) + jnp.sum(mU) + jnp.sum(msL) + jnp.sum(msU))
     n_comp = jnp.maximum(n_duals, 1.0)
 
@@ -237,6 +257,17 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     c0 = fns.constraints(x_init)
     s_init = jnp.where(eq, cl, _push_inside(
         c0, cl, cu, has_sl, has_su, opt.slack_push, opt.bound_frac))
+    # Central-path floor: with w = 1 initial slack multipliers, a
+    # slack distance of mu_init puts the pair exactly on w*d = mu.
+    # Without it, a tiny slack_push (warm starts) leaves active
+    # inequality slacks jammed at the boundary with sigma_s ~ 1/d^2
+    # freezing them and the multipliers exploding toward kappa_sigma's
+    # d-dependent ceiling.  Perturbation of c0 is at most mu_init, so
+    # theta is unaffected at any meaningful scale.
+    width = jnp.where(msL & msU, cu - cl, jnp.inf)
+    floor_d = jnp.minimum(jnp.asarray(opt.mu_init, dtype), 0.25 * width)
+    s_init = jnp.where(msL, jnp.maximum(s_init, cl + floor_d), s_init)
+    s_init = jnp.where(msU, jnp.minimum(s_init, cu - floor_d), s_init)
     y_init = jnp.zeros((m,), dtype) if y0 is None else jnp.asarray(y0, dtype)
     one = jnp.ones((), dtype)
     zL_init = (jnp.where(mL, one, 0.0) if zL0 is None
@@ -492,12 +523,22 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             def dir_quality(dxx, dyy, dss, delta_w):
                 finite = (jnp.all(jnp.isfinite(dxx))
                           & jnp.all(jnp.isfinite(dyy)))
+                # A near-singular iteration matrix (degenerate
+                # constraint rows: vanishing gradient with an active
+                # slack bound, e.g. gated path inequalities outside
+                # their region) shows up as an exploding multiplier
+                # step long before it turns non-finite.  Treat it like
+                # singularity and let the retry loop raise delta_c —
+                # the inertia-free analog of Ipopt's delta_c
+                # perturbation for rank-deficient Jacobians.
+                dy_ok = jnp.max(jnp.abs(dyy)) <= 1e12
+                healthy = finite & dy_ok
                 Wdx = jax.jvp(lag_grad, (x,), (dxx,))[1]
                 curv = (jnp.dot(dxx, Wdx) + jnp.dot(sigma_x * dxx, dxx)
                         + delta_w * jnp.dot(dxx, dxx)
                         + jnp.dot(sigma_s * dss, dss))
                 nrm = jnp.dot(dxx, dxx) + jnp.dot(dss, dss)
-                return finite & (curv >= opt.kappa_curv * nrm), finite
+                return healthy & (curv >= opt.kappa_curv * nrm), healthy
 
             def dir_cond(carry):
                 _, _, _, _, _, _, tries, ok = carry
@@ -511,8 +552,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                                 st.delta_w * 0.33),
                     jnp.minimum(dw * 8.0, opt.delta_w_max))
                 dxx, dyy, dss, fac = compute_dir(dw_new, dc)
-                ok, finite = dir_quality(dxx, dyy, dss, dw_new)
-                dc_new = jnp.where(finite, dc,
+                ok, healthy = dir_quality(dxx, dyy, dss, dw_new)
+                dc_new = jnp.where(healthy, dc,
                                    jnp.maximum(dc * 100.0,
                                                opt.delta_c_init))
                 return dxx, dyy, dss, fac, dw_new, dc_new, tries + 1, ok
@@ -883,8 +924,11 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     else:
         st = jax.lax.while_loop(cond, body, st0)
 
+    # honor_original_bounds: the internally relaxed bounds allow up to
+    # brf relative violation; project the reported solution back
+    x_out = jnp.clip(st.x, xl_orig, xu_orig)
     result = IPMResult(
-        x=st.x, obj_val=fns.objective(st.x), g=fns.constraints(st.x),
+        x=x_out, obj_val=fns.objective(x_out), g=fns.constraints(x_out),
         mult_g=st.y, mult_x_L=st.zL, mult_x_U=st.zU,
         status=st.status, iterations=st.it, obj_history=st.obj_history,
         inf_pr=st.inf_pr, inf_du=st.inf_du, mu=st.mu)

@@ -58,47 +58,113 @@ def plot_trajectories(prob, vector, axes=None, show_bounds=False):
     return axes
 
 
-def plot_constraint_violations(prob, vector, axes=None, subplots=False):
-    """Plot EoM constraint violations per equation and instance
-    constraint violations as a bar chart (parity: reference
-    :671-944, simplified layout)."""
+def _instance_bars_layout(o):
+    """Reference heuristic (:728-748): split the instance-constraint
+    bars into plots of 6..10 bars so every plot holds about the same
+    number; returns (bars_per_plot, num_plots)."""
+    if o == 0:
+        return 0, 0
+    bars_per_plot = None
+    for i in range(6, 11):
+        if o % i == 0:
+            bars_per_plot = i
+    if bars_per_plot is None:
+        # pick the count whose last plot is least empty
+        best = min(range(6, 11), key=lambda i: (i - o % i) % i)
+        bars_per_plot = best
+    num_plots = max(1, int(np.ceil(o / bars_per_plot)))
+    return bars_per_plot, num_plots
+
+
+def plot_constraint_violations(prob, vector, axes=None, subplots=False,
+                               show_bounds=False):
+    """Plot EoM constraint violations versus node number and instance
+    constraints as bar charts (behavior parity: reference :671-944).
+
+    ``subplots=True`` gives one plot per equation of motion; with
+    ``show_bounds=True`` bounded equations plot their *values* with
+    the eom_bounds overlaid as dashed lines, otherwise the violation
+    (distance outside [lower, upper], zero inside) is plotted.
+    Instance constraints are split over bar charts of 6-10 bars each.
+    """
     plt = _require_plt()
     col = prob.collocator
-    con_values = prob.con(np.asarray(vector))
+    con_values = np.asarray(prob.con(np.asarray(vector)))
     M = col.num_eom
     N = col.num_collocation_nodes
     o = col.num_instance_constraints
     ni = N - 1
 
-    # clip violations against the (possibly inequality) eom bounds
     cl = prob._low_con_bounds[:M * ni]
     cu = prob._upp_con_bounds[:M * ni]
     eomv = con_values[:M * ni]
     viol = np.where(eomv < cl, eomv - cl,
                     np.where(eomv > cu, eomv - cu, 0.0))
+    eom_bounds = prob.eom_bounds or {}
 
-    nplots = 1 + (1 if o else 0)
+    bars_per_plot, num_bar_plots = _instance_bars_layout(o)
+    num_eom_plots = M if (subplots and M > 1) else 1
+    figsize = 1.25 if (subplots and M > 1) else 1.75
     if axes is None:
-        fig, axes = plt.subplots(nplots, 1, figsize=(6.4, 3.0 * nplots),
-                                 layout='compressed')
-    axes = np.atleast_1d(axes)
+        fig, axes = plt.subplots(
+            num_eom_plots + num_bar_plots, 1,
+            figsize=(6.4, figsize * (num_eom_plots + num_bar_plots)),
+            layout='constrained')
+    axes = np.asarray(axes).ravel()
+    needed = num_eom_plots + num_bar_plots
+    if len(axes) < needed:
+        raise ValueError('{} axes are needed, {} were given.'.format(
+            needed, len(axes)))
 
-    time = prob.time_vector(solution=vector)[1:]
-    for j in range(M):
-        axes[0].plot(time, viol[j * ni:(j + 1) * ni], label='eom {}'.format(j))
-    axes[0].set_ylabel('EoM violation')
-    axes[0].set_xlabel('Time')
-    if M <= 10:
-        axes[0].legend(fontsize='x-small')
+    con_nodes = np.arange(1, N)
+    if num_eom_plots == 1:
+        if not eom_bounds:
+            for j in range(M):
+                axes[0].plot(con_nodes, eomv[j * ni:(j + 1) * ni])
+            axes[0].set_title('Constraint violations')
+        elif M == 1 and show_bounds:
+            axes[0].plot(con_nodes, eomv[:ni])
+            axes[0].set_title('Value of Bounded EoM')
+            axes[0].axhline(eom_bounds[0][0], color='C1', lw=1.0,
+                            linestyle='--')
+            axes[0].axhline(eom_bounds[0][1], color='C1', lw=1.0,
+                            linestyle='--')
+        else:
+            for j in range(M):
+                axes[0].plot(con_nodes, viol[j * ni:(j + 1) * ni])
+            axes[0].set_title('Constraint violations')
+        axes[0].set_xlabel('Node Number')
+        axes[0].set_ylabel('EoM violation')
+    else:
+        for j in range(M):
+            ax = axes[j]
+            if j in eom_bounds and show_bounds:
+                ax.plot(con_nodes, eomv[j * ni:(j + 1) * ni])
+                ax.axhline(eom_bounds[j][0], color='C1', lw=1.0,
+                           linestyle='--')
+                ax.axhline(eom_bounds[j][1], color='C1', lw=1.0,
+                           linestyle='--')
+                ax.set_ylabel('EoM {} value'.format(j),
+                              fontsize='small')
+            else:
+                ax.plot(con_nodes, viol[j * ni:(j + 1) * ni])
+                ax.set_ylabel('EoM {} violation'.format(j),
+                              fontsize='small')
+        axes[num_eom_plots - 1].set_xlabel('Node Number')
+        axes[0].set_title('Constraint violations')
 
     if o:
         inst = con_values[M * ni:]
-        axes[1].bar(range(o), inst)
-        axes[1].set_ylabel('Instance constraint violation')
-        axes[1].set_xticks(range(o))
-        axes[1].set_xticklabels(
-            [str(c) for c in col.instance_constraints],
-            rotation=30, fontsize='x-small', ha='right')
+        labels = [str(c) for c in col.instance_constraints]
+        for b in range(num_bar_plots):
+            ax = axes[num_eom_plots + b]
+            lo, hi = b * bars_per_plot, min((b + 1) * bars_per_plot, o)
+            idx = np.arange(lo, hi)
+            ax.bar(idx, inst[lo:hi])
+            ax.set_ylabel('Instance', fontsize='small')
+            ax.set_xticks(idx)
+            ax.set_xticklabels(labels[lo:hi], rotation=-45,
+                               fontsize='x-small', ha='left')
     return axes
 
 

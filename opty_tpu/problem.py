@@ -713,9 +713,11 @@ class Problem:
         return plotting.plot_trajectories(self, vector, axes=axes,
                                           show_bounds=show_bounds)
 
-    def plot_constraint_violations(self, vector, axes=None, subplots=False):
-        return plotting.plot_constraint_violations(self, vector, axes=axes,
-                                                   subplots=subplots)
+    def plot_constraint_violations(self, vector, axes=None, subplots=False,
+                                   show_bounds=False):
+        return plotting.plot_constraint_violations(
+            self, vector, axes=axes, subplots=subplots,
+            show_bounds=show_bounds)
 
     def plot_objective_value(self):
         return plotting.plot_objective_value(self)

@@ -1,0 +1,65 @@
+"""Gallery-port parity tests: each reference problem's committed Ipopt
+solution must be feasible in our transcription and certify as a KKT
+point in a handful of warm-started iterations (C24; VERDICT round 1
+item 8).  Ports live in examples/gallery/."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, 'examples', 'gallery'))
+
+from _common import certify  # noqa: E402
+
+
+def _certify_port(module_name, max_iters=25, **build_kwargs):
+    mod = __import__(module_name)
+    prob, csv_path = mod.build_problem(**build_kwargs)
+    if csv_path is None:
+        pytest.skip('no committed reference CSV for this config')
+    certify(prob, csv_path, max_certify_iters=max_iters, verbose=False)
+
+
+def test_light_diffraction():
+    _certify_port('light_diffraction')
+
+
+def test_crane_load():
+    _certify_port('crane_load')
+
+
+def test_double_pendulum_cart():
+    _certify_port('double_pendulum_cart', max_iters=60)
+
+
+def test_quarter_car():
+    _certify_port('quarter_car')
+
+
+def test_particle_in_tube():
+    _certify_port('particle_in_tube')
+
+
+def test_betts2003_identifies_p():
+    import betts2003
+    prob, _ = betts2003.build_problem()
+    rng = np.random.default_rng(0)
+    sol, info = prob.solve(rng.standard_normal(prob.num_free))
+    assert info['status'] in (0, 1)
+    np.testing.assert_allclose(sol[-1], np.pi, rtol=5e-3)
+
+
+def test_hilly_race_implicit_data_transcription():
+    """The implicit-data EoM (theta(x) + Derivative entry from
+    jnp.interp tables) transcribes and evaluates finite; full solve is
+    exercised by the example script."""
+    import hilly_race
+    prob, _ = hilly_race.build_problem(num_nodes=51)
+    guess = hilly_race.reference_initial_guess(prob)
+    g = np.asarray(prob.con(guess))
+    assert np.all(np.isfinite(g))
+    vals = np.asarray(prob.jacobian(guess))
+    assert np.all(np.isfinite(vals))

@@ -71,8 +71,8 @@ class TestEndToEnd:
         for i in range(3):
             np.testing.assert_allclose(sol[i * N + N - 1], 0.0,
                                        atol=1e-5)
-        # duration stays inside its bounds
-        assert 0.0 < sol[-1] <= 0.1 + 1e-12
+        # duration stays inside its bounds (default h_bounds ub = 0.2)
+        assert 0.0 < sol[-1] <= 0.2 + 1e-12
 
     def test_underactuated_variant_builds(self):
         eom, states, inputs, par_map = n_link_cart_eom(

@@ -37,6 +37,18 @@ def test_plot_constraint_violations(solved):
     assert len(axes) == 2  # eom violations + instance bar chart
 
 
+def test_plot_constraint_violations_subplots(solved):
+    """Per-eom subplot layout with eom_bounds overlays (reference
+    :671-944 behavior)."""
+    prob, sol, _ = solved
+    axes = prob.plot_constraint_violations(sol, subplots=True)
+    M = prob.collocator.num_eom
+    assert len(axes) >= M
+    axes2 = prob.plot_constraint_violations(sol, subplots=True,
+                                            show_bounds=True)
+    assert len(axes2) == len(axes)
+
+
 def test_plot_objective_value(solved):
     prob, sol, _ = solved
     ax = prob.plot_objective_value()

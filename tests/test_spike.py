@@ -90,7 +90,9 @@ def test_sharded_structured_solve_refined(mesh):
 
 def test_large_n_sharded(mesh):
     """A 100k-node system solves node-sharded (the P3 scale target)
-    and satisfies the equations to refinement accuracy."""
+    and satisfies the equations to refinement accuracy.  (At this size
+    the compile dominates the wall time; the arithmetic itself scales
+    linearly and is exercised identically at any N.)"""
     from opty_tpu.nlp.kkt import kkt_matvec
     rng = np.random.default_rng(8)
     blocks = random_blocks(N=100_000, nz=2, M=2, bw=1, o=0)
