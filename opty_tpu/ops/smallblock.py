@@ -37,42 +37,30 @@ def block_inv(A):
     M = A
     R = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), batch + (d, d))
 
-    # On TPU the row swap must avoid dynamic gathers (take_along_axis
-    # inside vmapped f64-emulated programs faults the TPU runtime), so
-    # it is expressed with one-hot masks there.  On CPU the gather form
-    # is kept: the two are mathematically identical but differ in the
-    # last bit, and the nonconvex benchmark paths are bit-sensitive —
-    # keeping CPU bit-stable preserves the validated behavior.
-    from ..config import on_tpu
-    use_onehot = on_tpu()
-
-    # forward elimination with partial pivoting; the row operations are
-    # applied to R simultaneously (R becomes L^-1 P)
+    # The row swap avoids dynamic gathers (take_along_axis inside
+    # vmapped f64-emulated programs faults the TPU runtime) by
+    # extracting row p through a one-hot masked sum (exact: all other
+    # summands are exact zeros) and SELECTING rows — an exact
+    # permutation on every backend.  An additive formulation
+    # (A + e_k (row_p - row_k) + ...) is NOT exact in floating point:
+    # swapping a small entry with a large one loses relative accuracy
+    # eps*|large/small|, which was enough to stall float32
+    # factorizations of equilibrated KKT systems on TPU.
     for k in range(d):
         col = jnp.abs(M[..., :, k])
         col = jnp.where(rows >= k, col, -jnp.inf)
         p = jnp.argmax(col, axis=-1)
 
-        if use_onehot:
-            oh_p = (rows == p[..., None])[..., :, None]  # (..., d, 1)
-            oh_k = (rows == k)[..., :, None]
+        oh_p = (rows == p[..., None])[..., :, None]  # (..., d, 1)
+        oh_k = (rows == k)[..., :, None]
 
-            def swap(A):
-                # A + e_k (row_p - row_k) + e_p (row_k - row_p): exact
-                # row swap, identity when p == k
-                row_p = jnp.sum(A * oh_p, axis=-2, keepdims=True)
-                row_k = A[..., k:k + 1, :]
-                return (A + oh_k * (row_p - row_k)
-                        + oh_p * (row_k - row_p))
+        def swap(A):
+            row_p = jnp.sum(A * oh_p, axis=-2, keepdims=True)
+            row_k = A[..., k:k + 1, :]
+            return jnp.where(oh_k, row_p, jnp.where(oh_p, row_k, A))
 
-            M = swap(M)
-            R = swap(R)
-        else:
-            pk = p[..., None]
-            perm = jnp.where(rows == k, pk,
-                             jnp.where(rows == pk, k, rows))
-            M = jnp.take_along_axis(M, perm[..., :, None], axis=-2)
-            R = jnp.take_along_axis(R, perm[..., :, None], axis=-2)
+        M = swap(M)
+        R = swap(R)
 
         below = (rows > k)[..., :, None]
         f = jnp.where(below, M[..., :, k:k + 1] / M[..., k:k + 1, k:k + 1],
