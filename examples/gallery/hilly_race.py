@@ -10,7 +10,13 @@ reference-style implicit-trajectory input surface
 ``jnp.interp`` so they stay inside the jitted solver.
 
 No reference CSV exists for this config; the script solves end-to-end
-from the reference's documented initial guess and checks the outcome.
+from the reference's documented initial guess and reports the outcome.
+
+Known-hard: the power term ``p/v`` is singular at the pinned initial
+condition ``v(0) = 0``, and the minimum-time objective interacts with
+that singular row; our filter IPM currently makes slow progress on the
+duration (the C17 implicit-data machinery itself is oracle-tested in
+tests/test_implicit_traj.py and tests/test_gallery_parity.py).
 
 Run:  python examples/gallery/hilly_race.py
 """

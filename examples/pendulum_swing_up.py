@@ -26,7 +26,31 @@ def main():
                         help='solve B multi-start instances via vmap')
     parser.add_argument('--nodes', type=int, default=501)
     parser.add_argument('--plot', action='store_true')
+    parser.add_argument('--variable-duration', action='store_true',
+                        help='free time interval h (reference: '
+                        'plot_pendulum_swing_up_variable_duration.py)')
     args = parser.parse_args()
+
+    if args.variable_duration:
+        from opty_tpu.models import swing_up_problem
+        prob = swing_up_problem(num_nodes=args.nodes,
+                                variable_duration=True)
+        np.random.seed(2)
+        x0 = np.random.randn(prob.num_free) * 0.01
+        x0[-1] = 0.01
+        prob.set_solver_options(max_iter=2000)
+        t0 = time.time()
+        solution, info = prob.solve(x0)
+        print(info['status_msg'])
+        print('objective: {:.6f}  h: {:.6f}  iterations: {}  '
+              'wall: {:.1f}s'.format(info['obj_val'], solution[-1],
+                                     info['iterations'],
+                                     time.time() - t0))
+        if args.plot:
+            import matplotlib.pyplot as plt
+            prob.plot_trajectories(solution)
+            plt.show()
+        return
 
     duration = 10.0
     num_nodes = args.nodes
