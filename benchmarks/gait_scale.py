@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Gait2d-scale wall-time-to-tolerance benchmark.
+
+BASELINE.json's second metric is "wall-time to tol on gait2d".  The
+reference's gait problems need the uninstallable pygait2d package, so
+the measurement runs on the equivalent-scale self-contained model
+(opty_tpu/models/nlink.py: 9-link chain on a cart, 20 states, 477k-op
+EoMs, 40 instance constraints, variable h — see the module docstring
+for the scale comparison).
+
+Reports build time (symbolics + transcription), compile-inclusive
+first solve, and the warm-cache re-solve wall time to tol=1e-8.
+
+Run:  python benchmarks/gait_scale.py [--links 9] [--nodes 60]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--links', type=int, default=9)
+    parser.add_argument('--nodes', type=int, default=60)
+    args = parser.parse_args()
+
+    import sympy as sm
+    import opty_tpu  # noqa: F401
+    from opty_tpu.models.nlink import (n_link_cart_problem,
+                                       n_link_initial_guess)
+
+    t0 = time.time()
+    prob, q_start = n_link_cart_problem(num_links=args.links,
+                                        num_nodes=args.nodes)
+    t_build = time.time() - t0
+    n_ops = int(sm.count_ops(prob.collocator.eom))
+    prob.set_solver_options(max_iter=500)
+    guess = n_link_initial_guess(prob, q_start)
+
+    t0 = time.time()
+    sol, info = prob.solve(guess)
+    t_cold = time.time() - t0
+
+    t0 = time.time()
+    sol2, info2 = prob.solve(guess)
+    t_warm = time.time() - t0
+
+    out = {
+        'metric': 'nlink{}_gait_scale_walltime_to_tol_s'.format(
+            args.links),
+        'value': round(t_warm, 2),
+        'unit': 's',
+        'extra': {
+            'links': args.links, 'nodes': args.nodes,
+            'states': prob.collocator.num_states,
+            'eom_ops': n_ops,
+            'instance_constraints':
+                prob.collocator.num_instance_constraints,
+            'build_s': round(t_build, 1),
+            'first_solve_incl_compile_s': round(t_cold, 1),
+            'status': info2['status'],
+            'iterations': info2['iterations'],
+            'inf_pr': float(info2['inf_pr']),
+            'objective': float(info2['obj_val']),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

@@ -261,6 +261,41 @@ class Problem:
     # ------------------------------------------------------------------
     # solving
     # ------------------------------------------------------------------
+    def _warn_if_hessian_structure_violated(self, free):
+        """One-time aliasing check of the structured Hessian recovery
+        (transcribe/hessian.py): the objective + instance terms must
+        not couple non-adjacent nodes, else the colored recovery
+        aliases and the solver runs as inexact Newton.  Warns instead
+        of failing (the line search keeps global convergence)."""
+        if getattr(self, '_hessian_checked', False):
+            return
+        self._hessian_checked = True
+        from .transcribe.hessian import check_structured_hessian
+        col = self.collocator
+
+        def phi(f):
+            val = self._obj_fn(f)
+            if col.num_instance_constraints:
+                val = val + jnp.sum(col.eval_instance_constraints(f))
+            return val
+
+        try:
+            err = check_structured_hessian(
+                phi, jnp.asarray(np.asarray(free, dtype=np.float64),
+                                 self._dtype),
+                col.num_collocation_nodes, col.num_states,
+                col.num_unknown_input_trajectories, col._bw)
+        except Exception:   # pragma: no cover - diagnostics only
+            return
+        if err > 1e-6:
+            import warnings
+            warnings.warn(
+                'The objective/instance constraints couple collocation '
+                'nodes beyond the block-tridiagonal Hessian structure '
+                '(relative aliasing error {:.1e}); the solver will run '
+                'as an inexact-Newton method with a possibly reduced '
+                'local convergence rate.'.format(err), stacklevel=3)
+
     def _build_solver(self):
         options = self._ipm_options
         col = self.collocator
@@ -327,6 +362,7 @@ class Problem:
         """
         if respect_bounds:
             self.check_bounds_conflict(free)
+        self._warn_if_hessian_structure_violated(free)
         if self._solver is None:
             self._solver = self._build_solver()
         run_warm, run_cold, run_resume = self._solver

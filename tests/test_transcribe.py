@@ -308,3 +308,54 @@ class TestErrors:
                 EOM, (x, v), N, H,
                 known_parameter_map={m: 1.0, c: 1.0, k: 1.0},
                 known_trajectory_map={F: np.zeros(N + 1)}, time_symbol=t)
+
+
+class TestHessianAliasDetection:
+    """check_structured_hessian flags objectives that couple
+    non-adjacent nodes (VERDICT round-1 weak item 7)."""
+
+    def test_node_local_objective_passes(self):
+        import jax.numpy as jnp
+        from opty_tpu.transcribe.hessian import check_structured_hessian
+        N, n, q, bw = 13, 2, 1, 1
+
+        def fun(free):
+            return jnp.sum(free ** 2) + jnp.sum(free[:N] ** 3)
+
+        free = np.linspace(0.1, 1.0, (n + q) * N + bw)
+        err = check_structured_hessian(fun, free, N, n, q, bw)
+        assert err < 1e-10
+
+    def test_distant_coupling_detected(self):
+        import jax.numpy as jnp
+        import warnings as _w
+        from opty_tpu.transcribe.hessian import check_structured_hessian
+        N, n, q, bw = 13, 2, 1, 1
+
+        def fun(free):
+            # couples node 0 and node N-1 nonlinearly
+            return free[0] ** 2 * free[N - 1] ** 2
+
+        free = np.linspace(0.1, 1.0, (n + q) * N + bw)
+        err = check_structured_hessian(fun, free, N, n, q, bw)
+        assert err > 1e-3
+
+    def test_problem_warns_on_aliasing(self):
+        import warnings
+        import jax.numpy as jnp
+        import sympy as sm
+        from opty_tpu import Problem
+        t = sm.Symbol('t')
+        x, v, F = [sm.Function(s)(t) for s in 'xvF']
+        eom = sm.Matrix([x.diff(t) - v, v.diff(t) - F])
+        N = 11
+
+        def obj(free):
+            return free[0] ** 2 * free[N - 1] ** 2 + jnp.sum(free ** 2)
+
+        prob = Problem(obj, None, eom, (x, v), N, 0.1, time_symbol=t)
+        prob.set_solver_options(max_iter=1)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter('always')
+            prob.solve(np.full(prob.num_free, 0.3))
+        assert any('block-tridiagonal' in str(w.message) for w in rec)
