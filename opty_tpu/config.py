@@ -20,6 +20,14 @@ import jax
 
 jax.config.update('jax_enable_x64', True)
 
+# On TPU, f32 matmuls default to fast bf16 MXU passes (~8 mantissa
+# bits) — that silently destroys the float32 KKT factorizations (the
+# Schur-recursion and cyclic-reduction updates are chains of small
+# matmuls whose error compounds across the node axis) while the same
+# code converges on CPU.  Force f32-accurate matmul passes everywhere;
+# the factorization is still ~8x faster than emulated-f64 arithmetic.
+jax.config.update('jax_default_matmul_precision', 'highest')
+
 # Persistent XLA compilation cache: the analog of the reference's
 # sha256-keyed compiled-kernel cache (opty/utils.py:759-770, 824-864),
 # but covering the entire solver program.  Especially valuable on TPU
