@@ -43,6 +43,16 @@ def test_particle_in_tube():
     _certify_port('particle_in_tube')
 
 
+def test_ball_on_disc_matches_or_beats():
+    """The rolling-contact DAE port: the committed CSV is feasible and
+    our solver matches-or-beats its objective (see module note)."""
+    import ball_on_disc
+    prob, csv_path = ball_on_disc.build_problem()
+    if csv_path is None:
+        pytest.skip('no committed reference CSV')
+    ball_on_disc.check(prob, csv_path, verbose=False)
+
+
 def test_betts2003_identifies_p():
     import betts2003
     prob, _ = betts2003.build_problem()
