@@ -224,7 +224,7 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
             fac = factor_kkt(blocks, factor_dtype=factor_dtype)
         return blocks, fac
 
-    def kkt_apply(blocks_fac, rx, rc):
+    def _apply_with_refinement(blocks_fac, rx, rc, n_refine):
         blocks, fac = blocks_fac
         solver = solve_factored_cr if kkt_method == 'cr' \
             else solve_factored
@@ -232,12 +232,15 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         u, beta = solver(fac, r_nodes, r_border)
         u = u.astype(dtype)
         beta = beta.astype(dtype)
-        for _ in range(refine_steps):
+        for _ in range(n_refine):
             Ku, Kb = kkt_matvec(blocks, u, beta)
             du, dbeta = solver(fac, r_nodes - Ku, r_border - Kb)
             u = u + du.astype(dtype)
             beta = beta + dbeta.astype(dtype)
         return _join_sol(u, beta)
+
+    def kkt_apply(blocks_fac, rx, rc):
+        return _apply_with_refinement(blocks_fac, rx, rc, refine_steps)
 
     def kkt_solve(prep, sigma_x, ds, rx, rc):
         return kkt_apply(kkt_factor(prep, sigma_x, ds), rx, rc)
@@ -259,7 +262,12 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
             fac = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
         else:
             fac = factor_kkt(blocks, factor_dtype=factor_dtype)
-        return kkt_apply((blocks, fac), rx, rc)
+        # restoration steps don't need Ipopt-accuracy solves: one
+        # refinement round suffices for a damped Gauss-Newton descent
+        # direction, and this path executes every iteration for every
+        # vmap lane (both lax.cond branches run under vmap)
+        return _apply_with_refinement((blocks, fac), rx, rc,
+                                      min(refine_steps, 1))
 
     fns = IPMFunctions(objective=objective_s, gradient=gradient_s,
                        constraints=constraints_s, kkt_prepare=kkt_prepare,

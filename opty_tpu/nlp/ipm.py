@@ -787,6 +787,16 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             wU_n = jnp.where(exit_now, jnp.where(msU, mu / dUs_e, 0.0), wU)
 
             ftf, fpf, fcf = fresh_filter(theta_max)
+            # Cap the re-admitted infeasibility at a multiple of the
+            # restored level: a bare (theta_max, -inf) filter lets the
+            # next phi-improving steps blow theta right back up
+            # (observed: theta 44 -> 3.8e4 in four accepted steps on
+            # the 9-link chain), which defeats the restoration.
+            cap = jnp.minimum(jnp.maximum(10.0 * theta_r,
+                                          1e2 * theta_min), theta_max)
+            ftf = ftf.at[1].set(cap)
+            fpf = fpf.at[1].set(-jnp.inf)
+            fcf = jnp.asarray(2, jnp.int32)
             fth = jnp.where(exit_now, ftf, f_theta)
             fph = jnp.where(exit_now, fpf, f_phi)
             fcn = jnp.where(exit_now, fcf, f_count)

@@ -104,6 +104,7 @@ class Problem:
         self._ipm_options = IPMOptions()
         self._factor_dtype = None
         self._kkt_method = None
+        self._refine_steps = None
         # iterations per device execution; None = auto (chunked on TPU
         # where the remote-execution path kills long launches)
         self._chunk_iters = None
@@ -252,6 +253,8 @@ class Problem:
             self._factor_dtype = factor_dtype
         if kkt_method is not None:
             self._kkt_method = kkt_method
+        if 'refine_steps' in kwargs:
+            self._refine_steps = kwargs.pop('refine_steps')
         if 'chunk_iters' in kwargs:
             self._chunk_iters = kwargs.pop('chunk_iters')
         self._ipm_options = self._ipm_options._replace(**kwargs)
@@ -323,6 +326,7 @@ class Problem:
             return make_collocation_nlp_functions(
                 col, obj_fn, grad_fn, scale_from=free,
                 factor_dtype=self._factor_dtype,
+                refine_steps=self._refine_steps,
                 kkt_method=self._kkt_method)
 
         def run_warm(free, y0, zl0, zu0):
@@ -407,6 +411,7 @@ class Problem:
             return make_collocation_nlp_functions(
                 col, obj_fn, grad_fn, scale_from=free,
                 factor_dtype=self._factor_dtype,
+                refine_steps=self._refine_steps,
                 kkt_method=self._kkt_method)
 
         def run_one(free):
