@@ -24,7 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ['block_inv_pallas', 'has_pallas_support']
+__all__ = ['block_inv_pallas', 'block_matmul_pallas',
+           'has_pallas_support']
 
 _LANES = 128
 
@@ -49,7 +50,9 @@ def _inv_kernel(a_ref, out_ref, *, d):
     for k in range(d):
         col = jnp.abs(A[:, k, :])
         col = jnp.where(rows >= k, col, -jnp.inf)
-        p = jnp.argmax(col, axis=0)                      # (128,) per lane
+        # lax.argmax with an explicit int32 index dtype: under x64 the
+        # jnp wrapper defaults to int64, which Mosaic can't lower
+        p = jax.lax.argmax(col, 0, jnp.int32)            # (128,) per lane
         is_p = (rows == p[None, :])[:, None, :]          # (d, 1, 128)
         is_k = (rows == k)[:, None, :]
 
@@ -78,6 +81,57 @@ def _inv_kernel(a_ref, out_ref, *, d):
     out_ref[:] = X
 
 
+def _matmul_kernel(a_ref, b_ref, out_ref, *, d):
+    """C[i,j,lane] = sum_k A[i,k,lane] B[k,j,lane] for 128 lanes."""
+    A = a_ref[:]
+    B = b_ref[:]
+    acc = jnp.zeros_like(A)
+    for k in range(d):
+        acc = acc + A[:, k, None, :] * B[None, k, :, :]
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def block_matmul_pallas(A, B, interpret=False):
+    """Batched d x d matmul in the batch-in-lanes layout.
+
+    A, B (..., d, d) -> (..., d, d); equivalent to ``A @ B`` but with
+    one matrix per VPU lane instead of XLA's padded trailing-dim
+    tiling."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch_shape = A.shape[:-2]
+    d = A.shape[-1]
+    Bn = 1
+    for s in batch_shape:
+        Bn *= s
+    Bp = ((Bn + _LANES - 1) // _LANES) * _LANES
+    Af = A.reshape(Bn, d, d)
+    Bf = B.reshape(Bn, d, d)
+    if Bp != Bn:
+        pad = jnp.zeros((Bp - Bn, d, d), A.dtype)
+        Af = jnp.concatenate([Af, pad], axis=0)
+        Bf = jnp.concatenate([Bf, pad], axis=0)
+    At = jnp.transpose(Af, (1, 2, 0))
+    Bt = jnp.transpose(Bf, (1, 2, 0))
+    spec = pl.BlockSpec((d, d, _LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    # Mosaic cannot lower the i64 grid/index values that global
+    # jax_enable_x64 produces; trace the kernel in an x64-disabled
+    # scope (all operands are f32)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_matmul_kernel, d=d),
+            out_shape=jax.ShapeDtypeStruct((d, d, Bp), A.dtype),
+            grid=(Bp // _LANES,),
+            in_specs=[spec, spec], out_specs=spec,
+            interpret=interpret,
+        )(At, Bt)
+    X = jnp.transpose(out, (2, 0, 1))[:Bn]
+    return X.reshape(batch_shape + (d, d))
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def block_inv_pallas(A, interpret=False):
     """Batched inverse of A (..., d, d) via the lane-parallel kernel.
@@ -103,16 +157,17 @@ def block_inv_pallas(A, interpret=False):
     # batch-in-lanes layout
     At = jnp.transpose(Af, (1, 2, 0))                    # (d, d, Bp)
 
-    out = pl.pallas_call(
-        functools.partial(_inv_kernel, d=d),
-        out_shape=jax.ShapeDtypeStruct((d, d, Bp), A.dtype),
-        grid=(Bp // _LANES,),
-        in_specs=[pl.BlockSpec((d, d, _LANES), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((d, d, _LANES), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(At)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_inv_kernel, d=d),
+            out_shape=jax.ShapeDtypeStruct((d, d, Bp), A.dtype),
+            grid=(Bp // _LANES,),
+            in_specs=[pl.BlockSpec((d, d, _LANES), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((d, d, _LANES), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(At)
 
     X = jnp.transpose(out, (2, 0, 1))[:B]
     return X.reshape(batch_shape + (d, d))

@@ -37,27 +37,39 @@ def block_inv(A):
     M = A
     R = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), batch + (d, d))
 
-    # The row swap avoids dynamic gathers (take_along_axis inside
-    # vmapped f64-emulated programs faults the TPU runtime) by
-    # extracting row p through a one-hot masked sum (exact: all other
-    # summands are exact zeros) and SELECTING rows — an exact
-    # permutation on every backend.  An additive formulation
-    # (A + e_k (row_p - row_k) + ...) is NOT exact in floating point:
-    # swapping a small entry with a large one loses relative accuracy
-    # eps*|large/small|, which was enough to stall float32
-    # factorizations of equilibrated KKT systems on TPU.
+    # On TPU the row swap must avoid dynamic gathers (take_along_axis
+    # inside vmapped f64-emulated programs faults the TPU runtime): row
+    # p is extracted through a one-hot masked sum and rows are SELECTED
+    # (an exact permutation for finite inputs; the earlier additive
+    # form A + e_k(row_p - row_k) + ... lost eps*|large/small| relative
+    # accuracy and stalled float32 factorizations).  On CPU the gather
+    # form is kept: for *non-finite* rows (near-singular blocks inside
+    # IPM regularization probes) the masked sum turns 0*inf into nan
+    # where the gather keeps the clean row, and the nonconvex
+    # benchmark paths are sensitive to exactly those probes.
+    from ..config import on_tpu
+    use_onehot = on_tpu()
+
     for k in range(d):
         col = jnp.abs(M[..., :, k])
         col = jnp.where(rows >= k, col, -jnp.inf)
         p = jnp.argmax(col, axis=-1)
 
-        oh_p = (rows == p[..., None])[..., :, None]  # (..., d, 1)
-        oh_k = (rows == k)[..., :, None]
+        if use_onehot:
+            oh_p = (rows == p[..., None])[..., :, None]  # (..., d, 1)
+            oh_k = (rows == k)[..., :, None]
 
-        def swap(A):
-            row_p = jnp.sum(A * oh_p, axis=-2, keepdims=True)
-            row_k = A[..., k:k + 1, :]
-            return jnp.where(oh_k, row_p, jnp.where(oh_p, row_k, A))
+            def swap(A):
+                row_p = jnp.sum(A * oh_p, axis=-2, keepdims=True)
+                row_k = A[..., k:k + 1, :]
+                return jnp.where(oh_k, row_p, jnp.where(oh_p, row_k, A))
+        else:
+            pk = p[..., None]
+            perm = jnp.where(rows == k, pk,
+                             jnp.where(rows == pk, k, rows))
+
+            def swap(A):
+                return jnp.take_along_axis(A, perm[..., :, None], axis=-2)
 
         M = swap(M)
         R = swap(R)

@@ -8,7 +8,9 @@ import jax
 import jax.numpy as jnp
 
 from opty_tpu.ops.smallblock import block_inv
-from opty_tpu.ops.pallas_blocks import block_inv_pallas, has_pallas_support
+from opty_tpu.ops.pallas_blocks import (block_inv_pallas,
+                                        block_matmul_pallas,
+                                        has_pallas_support)
 
 pytestmark = pytest.mark.skipif(not has_pallas_support(),
                                 reason='pallas not available')
@@ -44,3 +46,26 @@ def test_multi_batch_dims():
     want = block_inv(A)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('B,d', [(5, 3), (128, 7), (200, 5)])
+def test_matmul_matches_oracle(B, d):
+    rng = np.random.default_rng(10 * B + d)
+    A = jnp.asarray(rng.normal(size=(B, d, d)), jnp.float32)
+    Bm = jnp.asarray(rng.normal(size=(B, d, d)), jnp.float32)
+    got = block_matmul_pallas(A, Bm, interpret=INTERP)
+    want = jnp.einsum('bij,bjk->bik', A, Bm,
+                      precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_matmul_multi_batch_dims():
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.normal(size=(2, 9, 4, 4)), jnp.float32)
+    Bm = jnp.asarray(rng.normal(size=(2, 9, 4, 4)), jnp.float32)
+    got = block_matmul_pallas(A, Bm, interpret=INTERP)
+    want = jnp.einsum('cbij,cbjk->cbik', A, Bm,
+                      precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
