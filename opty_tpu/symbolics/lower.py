@@ -30,6 +30,20 @@ def _cse(exprs, **kwargs):
                   **kwargs)
 
 
+def _safe_tanh(x):
+    # On TPU, float64 is emulated through exp-based expansions that
+    # overflow for |x| >~ 300 (jnp.tanh(600.) -> nan there, 1.0 on
+    # CPU).  tanh saturates to +-1 within one f64 ulp for |x| > 40, so
+    # clamping first is exact and removes the overflow.  Gallery
+    # models use tanh(20*v) as a smooth sign() (e.g. reference
+    # plot_mississippi_steamboat.py drag forces), which hits this
+    # range routinely.
+    return jnp.tanh(jnp.clip(x, -40.0, 40.0))
+
+
+_JAX_OVERRIDES = {'tanh': _safe_tanh}
+
+
 def lambdify_jax(args, exprs, use_cse=True):
     """Lower SymPy expressions to a JAX-traceable scalar function.
 
@@ -49,8 +63,8 @@ def lambdify_jax(args, exprs, use_cse=True):
     """
     exprs = list(exprs)
     cse_fn = _cse if use_cse else None
-    raw = sm.lambdify(tuple(args), exprs, modules='jax', cse=cse_fn,
-                      docstring_limit=0)
+    raw = sm.lambdify(tuple(args), exprs, modules=[_JAX_OVERRIDES, 'jax'],
+                      cse=cse_fn, docstring_limit=0)
 
     def fn(*values):
         out = raw(*values)

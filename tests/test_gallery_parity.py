@@ -43,6 +43,10 @@ def test_particle_in_tube():
     _certify_port('particle_in_tube')
 
 
+def test_steamboat():
+    _certify_port('steamboat')
+
+
 def test_ball_on_disc_matches_or_beats():
     """The rolling-contact DAE port: the committed CSV is feasible and
     our solver matches-or-beats its objective (see module note)."""
