@@ -47,10 +47,10 @@ def main():
     log('devices:', jax.devices())
 
     num_nodes = int(os.environ.get('BENCH_NODES', '501'))
-    batch = int(os.environ.get('BENCH_BATCH', '32'))
-    queue_len = int(os.environ.get('BENCH_QUEUE', str(4 * batch)))
+    batch = int(os.environ.get('BENCH_BATCH', '64'))
+    queue_len = int(os.environ.get('BENCH_QUEUE', str(3 * batch)))
     max_iter = int(os.environ.get('BENCH_MAXITER', '200'))
-    chunk = int(os.environ.get('BENCH_CHUNK', '6'))
+    chunk = int(os.environ.get('BENCH_CHUNK', '12'))
     kkt_method = os.environ.get('BENCH_KKT', 'cr')
 
     prob = swing_up_problem(num_nodes=num_nodes)

@@ -43,7 +43,10 @@ def main():
                                         num_nodes=args.nodes)
     t_build = time.time() - t0
     n_ops = int(sm.count_ops(prob.collocator.eom))
-    prob.set_solver_options(max_iter=500)
+    # near-feasible inverse-dynamics start -> small initial barrier;
+    # the nonconvex tail of this problem converges slowly, so give it
+    # a generous iteration budget and report what was achieved
+    prob.set_solver_options(max_iter=1500, mu_init=1e-5)
     guess = n_link_initial_guess(prob, q_start)
 
     t0 = time.time()

@@ -107,7 +107,7 @@ def n_link_cart_eom(num_links, relative=True, joint_torques=True):
 
 
 def n_link_cart_problem(num_links=9, num_nodes=60, task='reach',
-                        force_bound=100.0, torque_bound=50.0,
+                        force_bound=100.0, torque_bound=100.0,
                         h_bounds=(0.0, 0.2), duration_weight=0.0,
                         relative=True, joint_torques=True,
                         **problem_kwargs):
@@ -171,31 +171,62 @@ def n_link_cart_problem(num_links=9, num_nodes=60, task='reach',
     return prob, np.asarray(q_start)
 
 
-def n_link_initial_guess(prob, q_start, q_end=None, h_guess=None):
+def n_link_initial_guess(prob, q_start, q_end=None, h_guess=None,
+                         inverse_dynamics=True):
     """Dynamics-aware initial guess: cosine-ramp coordinate paths
     (zero end velocities), finite-difference-consistent velocity
-    trajectories, and a near-upper-bound ``h`` (the minimum-effort
-    optimum slows the motion as much as the horizon allows)."""
+    trajectories, a near-upper-bound ``h`` (the minimum-effort optimum
+    slows the motion as much as the horizon allows), and — because the
+    actuator inputs enter the implicit EoMs linearly — per-interval
+    least-squares *inverse-dynamics* inputs that zero the collocation
+    residual along the guessed path.  The resulting guess is nearly
+    feasible, which keeps the nonconvex solve out of
+    feasibility-restoration dead ends."""
     col = prob.collocator
     N = col.num_collocation_nodes
     n_states = col.num_states
+    q = col.num_unknown_input_trajectories
     ncoord = n_states // 2
     if q_end is None:
         q_end = np.zeros(ncoord)
     if h_guess is None:
-        # 0.75 of the h range: empirically the most reliable basin for
-        # the minimum-effort optimum (which slows the motion toward
-        # the upper bound); starting at >= 0.9 h_max or <= 0.25 h_max
-        # sends the 5- and 9-link chains into restoration dead ends
         hb = prob.bounds.get(col.time_interval_symbol, (0.0, 0.2))
         h_guess = 0.75 * float(np.asarray(hb[1]))
     guess = np.zeros(prob.num_free)
-    # smooth-step profile: zero slope at both ends
-    srange = 0.5 * (1.0 - np.cos(np.linspace(0.0, np.pi, N)))
+    # quintic smoothstep: zero velocity AND acceleration at both ends,
+    # so the inverse-dynamics torques stay near static gravity levels
+    # at the endpoints instead of spiking into the actuator bounds
+    tau = np.linspace(0.0, 1.0, N)
+    srange = tau ** 3 * (6.0 * tau ** 2 - 15.0 * tau + 10.0)
     for i in range(ncoord):
         path = q_start[i] + (q_end[i] - q_start[i]) * srange
         guess[i * N:(i + 1) * N] = path
-        vel = np.gradient(path, h_guess)
+        # backward-difference velocities: the BE kinematic rows
+        # q_{i+1} - q_i = h u_{i+1} then hold exactly, leaving a
+        # square exactly-solvable system for the inputs below
+        vel = np.empty(N)
+        vel[1:] = np.diff(path) / h_guess
+        vel[0] = vel[1]
         guess[(ncoord + i) * N:(ncoord + i + 1) * N] = vel
     guess[-1] = h_guess
+
+    if inverse_dynamics and q:
+        # residual is affine in the inputs: r(z, u) = r0(z) + B u.
+        # B = d r / d u_cur from the per-interval Jacobian blocks;
+        # solve min ||r0 + B u|| per interval, assign to the current
+        # node (backward Euler: node i+1), clip into the input bounds.
+        import jax.numpy as jnp
+        r0, _ = col.constraints_nodewise(jnp.asarray(guess))
+        A = col.jacobian_blocks(jnp.asarray(guess))[0]
+        B = np.asarray(A[:, :, n_states:])            # (N-1, M, q)
+        r0 = np.asarray(r0)                           # (N-1, M)
+        u = np.zeros((N, q))
+        for i in range(N - 1):
+            sol, *_ = np.linalg.lstsq(B[i], -r0[i], rcond=None)
+            u[i + 1] = sol
+        u[0] = u[1]
+        lb = prob.lower_bound[ncoord * 2 * N:(2 * ncoord + q) * N]
+        ub = prob.upper_bound[ncoord * 2 * N:(2 * ncoord + q) * N]
+        flat = np.clip(u.T.reshape(-1), lb, ub)
+        guess[n_states * N:(n_states + q) * N] = flat
     return guess
