@@ -224,7 +224,8 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
             fac = factor_kkt(blocks, factor_dtype=factor_dtype)
         return blocks, fac
 
-    def _apply_with_refinement(blocks_fac, rx, rc, n_refine):
+    def _apply_with_refinement(blocks_fac, rx, rc, n_refine,
+                               with_resid=False):
         blocks, fac = blocks_fac
         solver = solve_factored_cr if kkt_method == 'cr' \
             else solve_factored
@@ -237,10 +238,28 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
             du, dbeta = solver(fac, r_nodes - Ku, r_border - Kb)
             u = u + du.astype(dtype)
             beta = beta + dbeta.astype(dtype)
-        return _join_sol(u, beta)
+        if not with_resid:
+            return _join_sol(u, beta)
+        # Post-refinement relative KKT residual: the only reliable
+        # stability signal for the pivoting-free structured
+        # factorization.  At a constrained optimum W + Sigma is
+        # legitimately indefinite; Ipopt's pivoted MA27 factors that
+        # exactly, but the block Schur recursion can silently lose all
+        # accuracy (tiny pivots) while every entry stays finite — the
+        # IPM uses this norm to decide whether a delta_w = 0 trial
+        # actually solved the Newton system.
+        Ku, Kb = kkt_matvec(blocks, u, beta)
+        num = jnp.sqrt(jnp.sum((Ku - r_nodes) ** 2)
+                       + jnp.sum((Kb - r_border) ** 2))
+        den = jnp.sqrt(jnp.sum(r_nodes ** 2) + jnp.sum(r_border ** 2))
+        resid = num / jnp.maximum(den, 1e-300)
+        dx, dy = _join_sol(u, beta)
+        return dx, dy, resid
 
     def kkt_apply(blocks_fac, rx, rc):
-        return _apply_with_refinement(blocks_fac, rx, rc, refine_steps)
+        """Solve a factored system; returns (dx, dy, rel_resid)."""
+        return _apply_with_refinement(blocks_fac, rx, rc, refine_steps,
+                                      with_resid=True)
 
     def kkt_solve(prep, sigma_x, ds, rx, rc):
         return kkt_apply(kkt_factor(prep, sigma_x, ds), rx, rc)
