@@ -21,7 +21,7 @@ def csv(path):
 
 
 def certify(prob, csv_path, feas_tol=1e-6, max_certify_iters=25,
-            verbose=True):
+            verbose=True, solver_options=None):
     """Certify the reference's committed Ipopt solution with our
     solver.  Returns (solution, info)."""
     ref = np.loadtxt(csv_path)
@@ -34,8 +34,10 @@ def certify(prob, csv_path, feas_tol=1e-6, max_certify_iters=25,
         print('reference solution constraint violation in our '
               'transcription: {:.2e}'.format(resid))
     assert resid < feas_tol, resid
-    prob.set_solver_options(max_iter=50, mu_init=1e-9,
-                            bound_push=1e-10, slack_push=1e-10)
+    prob.set_solver_options(max_iter=max(50, max_certify_iters + 15),
+                            mu_init=1e-9,
+                            bound_push=1e-10, slack_push=1e-10,
+                            **(solver_options or {}))
     sol, info = prob.solve(ref)
     if verbose:
         print('certification: status={} iters={} obj={:.6f}'.format(

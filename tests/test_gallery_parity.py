@@ -20,7 +20,8 @@ def _certify_port(module_name, max_iters=25, **build_kwargs):
     prob, csv_path = mod.build_problem(**build_kwargs)
     if csv_path is None:
         pytest.skip('no committed reference CSV for this config')
-    certify(prob, csv_path, max_certify_iters=max_iters, verbose=False)
+    certify(prob, csv_path, max_certify_iters=max_iters, verbose=False,
+            solver_options=getattr(mod, 'CERT_OPTIONS', None))
 
 
 def test_light_diffraction():
@@ -45,6 +46,21 @@ def test_particle_in_tube():
 
 def test_steamboat():
     _certify_port('steamboat')
+
+
+def test_car_in_garage():
+    _certify_port('car_in_garage')
+
+
+def test_car_around_pylons():
+    # E0 hovers in the acceptable band for a while before the
+    # acceptable-iteration counter fires (min-time problem, noisy
+    # optimality floor)
+    _certify_port('car_around_pylons', max_iters=50)
+
+
+def test_car_on_racecourse():
+    _certify_port('car_on_racecourse')
 
 
 def test_ball_on_disc_matches_or_beats():
