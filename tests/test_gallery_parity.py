@@ -63,6 +63,10 @@ def test_car_on_racecourse():
     _certify_port('car_on_racecourse')
 
 
+def test_betts_10_47_phase3():
+    _certify_port('betts_10_47')
+
+
 def test_ball_on_disc_matches_or_beats():
     """The rolling-contact DAE port: the committed CSV is feasible and
     our solver matches-or-beats its objective (see module note)."""
