@@ -47,8 +47,11 @@ def main():
     log('devices:', jax.devices())
 
     num_nodes = int(os.environ.get('BENCH_NODES', '501'))
-    batch = int(os.environ.get('BENCH_BATCH', '64'))
-    queue_len = int(os.environ.get('BENCH_QUEUE', str(3 * batch)))
+    # measured sweet spot on v5e: 16 lanes (1.57/s) > 32 (1.24) >
+    # 64 (1.10) > 128 (0.76) — per-iteration time grows near-linearly
+    # with batch above ~16, so small batches win on solves/s
+    batch = int(os.environ.get('BENCH_BATCH', '16'))
+    queue_len = int(os.environ.get('BENCH_QUEUE', str(max(128, 3 * batch))))
     max_iter = int(os.environ.get('BENCH_MAXITER', '200'))
     chunk = int(os.environ.get('BENCH_CHUNK', '12'))
     kkt_method = os.environ.get('BENCH_KKT', 'cr')
