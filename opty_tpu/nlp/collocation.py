@@ -210,14 +210,29 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         return (join_free(u[:, :nz], beta[:bw]),
                 join_con(u[1:, nz:], beta[bw:]))
 
-    def kkt_factor(prep, sigma_x, ds):
+    def kkt_factor(prep, sigma_x, ds, gn_mask=None):
         """Factor the KKT matrix once for a given regularization; the
         (blocks, factorization) pair is reusable by ``kkt_apply`` for
-        any rhs (direction, SOC, refinement)."""
+        any rhs (direction, SOC, refinement).
+
+        ``gn_mask`` (traced per-lane bool) zeroes the Lagrangian
+        Hessian blocks, turning the matrix into the damped Gauss-
+        Newton feasibility system [[sigma, J^T], [J, -ds]]: the IPM
+        merges its restoration-lane solves into the shared per-
+        iteration factorization this way (both lax.cond branches run
+        under vmap, so a separate feasibility factorization would
+        double the factor cost)."""
         sz, sw = split_free(sigma_x)
-        Hd = prep['Hd'] + jax.vmap(jnp.diag)(sz)
-        Hww = prep['Hww'] + jnp.diag(sw)
-        blocks = _blocks_with(Hd, prep['Ho'], prep['Hw'], Hww, prep, ds)
+        Hd, Ho, Hw, Hww = (prep['Hd'], prep['Ho'], prep['Hw'],
+                           prep['Hww'])
+        if gn_mask is not None:
+            Hd = jnp.where(gn_mask, 0.0, Hd)
+            Ho = jnp.where(gn_mask, 0.0, Ho)
+            Hw = jnp.where(gn_mask, 0.0, Hw)
+            Hww = jnp.where(gn_mask, 0.0, Hww)
+        Hd = Hd + jax.vmap(jnp.diag)(sz)
+        Hww = Hww + jnp.diag(sw)
+        blocks = _blocks_with(Hd, Ho, Hw, Hww, prep, ds)
         if kkt_method == 'cr':
             fac = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
         else:
@@ -233,8 +248,27 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         u, beta = solver(fac, r_nodes, r_border)
         u = u.astype(dtype)
         beta = beta.astype(dtype)
-        for _ in range(n_refine):
+        resid = None
+        for i in range(n_refine):
             Ku, Kb = kkt_matvec(blocks, u, beta)
+            if with_resid and n_refine >= 2 and i == n_refine - 1:
+                # Relative KKT residual measured at the last refinement
+                # round and shared with its correction: one f64
+                # operator application serves both (a full quarter of
+                # the emulated-f64 refinement cost).  The reported
+                # value is the residual BEFORE the final correction —
+                # a strict upper bound on the post-refinement residual,
+                # so the stability gate below stays conservative.
+                # Only with >= 2 rounds: after a single round the
+                # pre-correction value is the RAW factorization
+                # residual, which legitimately exceeds the gate at
+                # indefinite optima (observed: warm-started crane
+                # certification spun its retry ladder on it).
+                num = jnp.sqrt(jnp.sum((Ku - r_nodes) ** 2)
+                               + jnp.sum((Kb - r_border) ** 2))
+                den = jnp.sqrt(jnp.sum(r_nodes ** 2)
+                               + jnp.sum(r_border ** 2))
+                resid = num / jnp.maximum(den, 1e-300)
             du, dbeta = solver(fac, r_nodes - Ku, r_border - Kb)
             u = u + du.astype(dtype)
             beta = beta + dbeta.astype(dtype)
@@ -248,11 +282,12 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         # accuracy (tiny pivots) while every entry stays finite — the
         # IPM uses this norm to decide whether a delta_w = 0 trial
         # actually solved the Newton system.
-        Ku, Kb = kkt_matvec(blocks, u, beta)
-        num = jnp.sqrt(jnp.sum((Ku - r_nodes) ** 2)
-                       + jnp.sum((Kb - r_border) ** 2))
-        den = jnp.sqrt(jnp.sum(r_nodes ** 2) + jnp.sum(r_border ** 2))
-        resid = num / jnp.maximum(den, 1e-300)
+        if resid is None:       # n_refine == 0: dedicated residual pass
+            Ku, Kb = kkt_matvec(blocks, u, beta)
+            num = jnp.sqrt(jnp.sum((Ku - r_nodes) ** 2)
+                           + jnp.sum((Kb - r_border) ** 2))
+            den = jnp.sqrt(jnp.sum(r_nodes ** 2) + jnp.sum(r_border ** 2))
+            resid = num / jnp.maximum(den, 1e-300)
         dx, dy = _join_sol(u, beta)
         return dx, dy, resid
 
@@ -260,6 +295,16 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         """Solve a factored system; returns (dx, dy, rel_resid)."""
         return _apply_with_refinement(blocks_fac, rx, rc, refine_steps,
                                       with_resid=True)
+
+    def kkt_apply_soc(blocks_fac, rx, rc):
+        """Light re-solve for the second-order correction: one
+        refinement round and no residual.  The SOC is a trial step the
+        filter judges on actual constraint evaluations, so Ipopt-level
+        solve accuracy buys nothing — and under vmap the SOC branch
+        executes for every lane every iteration, so its emulated-f64
+        refinement rounds are a per-iteration tax."""
+        return _apply_with_refinement(blocks_fac, rx, rc,
+                                      min(refine_steps, 1))
 
     def kkt_solve(prep, sigma_x, ds, rx, rc):
         return kkt_apply(kkt_factor(prep, sigma_x, ds), rx, rc)
@@ -291,6 +336,6 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
     fns = IPMFunctions(objective=objective_s, gradient=gradient_s,
                        constraints=constraints_s, kkt_prepare=kkt_prepare,
                        kkt_factor=kkt_factor, kkt_apply=kkt_apply,
-                       kkt_solve=kkt_solve,
+                       kkt_apply_soc=kkt_apply_soc, kkt_solve=kkt_solve,
                        kkt_solve_feasibility=kkt_solve_feasibility)
     return fns, (sf, dsc_full)

@@ -131,6 +131,11 @@ class IPMFunctions(NamedTuple):
     kkt_solve_feasibility: Callable[..., Any]
     kkt_factor: Any = None
     kkt_apply: Any = None
+    # optional cheaper solve for the second-order correction (e.g.
+    # fewer refinement rounds, no residual): the SOC is a trial step
+    # judged by the filter on actual evaluations, so full solve
+    # accuracy buys nothing.  Falls back to kkt_apply.
+    kkt_apply_soc: Any = None
 
 
 class IPMResult(NamedTuple):
@@ -180,6 +185,11 @@ class _State(NamedTuple):
     alpha_last: jnp.ndarray
     E_last: jnp.ndarray       # optimality error of the last two
     E_prev: jnp.ndarray       # iterations (regularization-decay gate)
+    g: jnp.ndarray            # gradient, constraints and J^T y at
+    c: jnp.ndarray            # (x, y), carried from the convergence
+    Jty: jnp.ndarray          # check so each point is evaluated once
+    x_R: jnp.ndarray          # elastic-restoration prox center
+    mu_R: jnp.ndarray         # elastic-restoration barrier parameter
 
 
 def _masked_inv(dist, mask):
@@ -350,94 +360,6 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         c, vjp = jax.vjp(fns.constraints, x)
         Jty = vjp(y)[0]
         return g, c, Jty
-    def project_interior(xt, st_):
-        """Project a trial point into the strict interior of the
-        bounds (used by the restoration phase).  The margin is kept at
-        a healthy 1e-3 relative width: restoration must not pin
-        variables (e.g. actuator bounds) to the boundary, or the
-        subsequent IPM iterations lose all control authority and the
-        recentered bound multipliers blow up."""
-        xt = jnp.where(fixed, xl, _push_inside(
-            xt, xl, xu, has_xl, has_xu, 1e-3, 1e-3))
-        st_ = jnp.where(eq, cl, _push_inside(
-            st_, cl, cu, has_sl, has_su, 1e-3, 1e-3))
-        return xt, st_
-
-    def restoration_step(prep, x, s, lam):
-        """One damped Gauss-Newton step on R = 0.5 ||c(x) - s||^2.
-
-        Reuses the prepared Jacobian blocks with a Levenberg-Marquardt
-        diagonal:  [[lam I, J^T], [J, -I]] is the augmented form of
-        (J^T J + lam I) dx = -J^T r,  with the inequality-row slacks
-        absorbing their residual component.  Falls back to a projected
-        Cauchy step when GN fails.  This is the strong
-        feasibility-restoration analog of Ipopt's restoration NLP,
-        sharing the banded factorization.
-        """
-        c_r, vjp_r = jax.vjp(fns.constraints, x)
-        r = c_r - s
-        R0 = 0.5 * jnp.dot(r, r)
-
-        sigma_r = jnp.where(fixed, _BIG_SIGMA, lam)
-        dxr, dyr = fns.kkt_solve_feasibility(prep, sigma_r, -r)
-        dxr = jnp.where(fixed, 0.0, dxr)
-        # slack step: inequality rows absorb their linearized residual
-        dsr = jnp.where(eq, 0.0, dyr)
-        gn_ok = jnp.all(jnp.isfinite(dxr)) & jnp.all(jnp.isfinite(dsr))
-        dxr = jnp.where(gn_ok, dxr, 0.0)
-        dsr = jnp.where(gn_ok, dsr, 0.0)
-
-        # Cauchy direction as fallback
-        gx = jnp.where(fixed, 0.0, vjp_r(r)[0])
-        gs = jnp.where(eq, 0.0, -r)
-        gnorm2 = jnp.dot(gx, gx) + jnp.dot(gs, gs)
-        Jgx = jax.jvp(fns.constraints, (x,), (gx,))[1]
-        rho_dir = Jgx - gs
-        denom = jnp.dot(rho_dir, rho_dir)
-        a_c = jnp.where(denom > 1e-30, gnorm2 / denom, 1.0)
-        dx_c = -a_c * gx
-        ds_c = -a_c * gs
-
-        def backtrack(dxx, dss):
-            def bt_cond(carry):
-                a, j, ok = carry
-                return (~ok) & (j < 15)
-
-            def bt_body(carry):
-                a, j, _ = carry
-                xt, st_ = project_interior(x + a * dxx, s + a * dss)
-                rt = fns.constraints(xt) - st_
-                Rt = 0.5 * jnp.dot(rt, rt)
-                ok = Rt < R0 * (1.0 - 1e-10)
-                a = jnp.where(ok, a, a * 0.5)
-                return a, j + 1, ok
-
-            return jax.lax.while_loop(
-                bt_cond, bt_body,
-                (jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
-                 jnp.asarray(False)))
-
-        a_gn, _, gn_red = backtrack(dxr, dsr)
-        use_gn = gn_ok & gn_red
-        a_f, _, c_red = backtrack(dx_c, ds_c)
-        a_use = jnp.where(use_gn, a_gn, a_f)
-        dx_use = jnp.where(use_gn, dxr, dx_c)
-        ds_use = jnp.where(use_gn, dsr, ds_c)
-        reduced = use_gn | c_red
-        x_n, s_n = project_interior(x + a_use * dx_use, s + a_use * ds_use)
-        x_n = jnp.where(reduced, x_n, x)
-        s_n = jnp.where(reduced, s_n, s)
-        # LM damping adaptation: shrink when GN worked at full step
-        lam_n = jnp.where(use_gn & (a_gn > 0.9),
-                          jnp.maximum(lam * 0.33, 1e-10),
-                          jnp.where(use_gn, lam, jnp.minimum(lam * 10.0,
-                                                             1e6)))
-        # first-order certificate of the feasibility problem: the
-        # projected gradient of 0.5||c - s||^2 (used to distinguish
-        # genuine local infeasibility from slow restoration progress)
-        feas_grad = jnp.sqrt(gnorm2)
-        return x_n, s_n, reduced, lam_n, feas_grad
-
     # ---- main loop ------------------------------------------------------
     if iter_budget is None:
         def cond(st: _State):
@@ -453,7 +375,9 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         theta_min = st.theta_min
         theta_max = st.theta_max
 
-        g, c, Jty = eval_point(x, y)
+        # carried from the previous iteration's convergence check (the
+        # same point): one gradient + constraints + vjp per iteration
+        g, c, Jty = st.g, st.c, st.Jty
 
         # -- barrier parameter update (possibly several reductions) ------
         def mu_red(carry, _):
@@ -484,182 +408,381 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         # shared by direction retries, SOC and restoration
         prep = fns.kkt_prepare(x, y)
 
+        # -- barrier diagonals and residuals (shared by both branches) ---
+        dLx = jnp.where(mL, x - xl, 1.0)
+        dUx = jnp.where(mU, xu - x, 1.0)
+        dLs = jnp.where(msL, s - cl, 1.0)
+        dUs = jnp.where(msU, cu - s, 1.0)
+        iLx = _masked_inv(dLx, mL)
+        iUx = _masked_inv(dUx, mU)
+        iLs = _masked_inv(dLs, msL)
+        iUs = _masked_inv(dUs, msU)
+
+        SigL = zL * iLx
+        SigU = zU * iUx
+        sigma_x = SigL + SigU + jnp.where(fixed, _BIG_SIGMA, 0.0)
+        SigsL = wL * iLs
+        SigsU = wU * iUs
+        sigma_s = SigsL + SigsU
+        free_row = ~eq & ~msL & ~msU
+        Ds = jnp.where(eq, 0.0,
+                       jnp.where(free_row, _BIG_SIGMA,
+                                 1.0 / jnp.maximum(sigma_s, 1e-30)))
+
+        rx = -(g + Jty - mu * iLx + mu * iUx)
+        rx = jnp.where(fixed, 0.0, rx)
+        rhs_s = -(-y - mu * iLs + mu * iUs)
+        rhs_s = jnp.where(eq, 0.0, rhs_s)
+        rc = -(c - s) + Ds * rhs_s
+
+        # -- merged direction system ---------------------------------
+        # Under vmap BOTH lax.cond branches execute for every lane, so
+        # a restoration lane would otherwise pay the regular-direction
+        # factorization AND the restoration one.  The two systems
+        # share the Jacobian structure and differ only in diagonal
+        # blocks, so the blocks are SELECTED per lane before one
+        # shared factorization.
+        #
+        # Restoration lanes solve the ELASTIC restoration NLP (the
+        # in-framework form of Ipopt's restoration phase, W-B A-9):
+        #
+        #   min  rho (p + n) + zeta/2 |D_R (x - x_R)|^2
+        #        - mu_R [sum log(bound distances) + log p + log n]
+        #   s.t. c(x) - s - p + n = 0
+        #
+        # p, n enter linearly, so for a given residual r = c - s the
+        # barrier-optimal elastic pair has the CLOSED FORM
+        #
+        #   n = (mu_R - rho r + sqrt(rho^2 r^2 + mu_R^2)) / (2 rho)
+        #   p = n + r            (both always > 0)
+        #
+        # and re-eliminating (p, n) after every step keeps the elastic
+        # constraint satisfied EXACTLY at every iterate: restoration
+        # becomes monotone descent on the smooth merit rho(p+n) + prox
+        # + barriers (a smoothed L1 feasibility measure), with implied
+        # multiplier y_imp = rho - mu_R/p = mu_R/n - rho bounded by
+        # rho — the L1 exactness property that lets the elastic phase
+        # walk through rank-deficient and complementarity-degenerate
+        # Jacobians where a damped Gauss-Newton step stalls.
+        # Condensing p, n, s into the constraint row turns the (2,2)
+        # block into -(Ds_R + p^2/mu_R + n^2/mu_R): same bordered
+        # block-tridiagonal structure, one shared factorization.
+        gn = st.in_rest
+        rho_R = 1000.0
+        mu_R = st.mu_R
+        r_rest = c - s
+        S_el = jnp.sqrt((rho_R * r_rest) ** 2 + mu_R ** 2)
+        n_el = (mu_R - rho_R * r_rest + S_el) / (2.0 * rho_R)
+        p_el = n_el + r_rest
+        y_imp = rho_R - mu_R / jnp.maximum(p_el, 1e-30)
+        Dp_el = p_el ** 2 / mu_R
+        Dn_el = n_el ** 2 / mu_R
+        sigma_sR = mu_R * (iLs ** 2 + iUs ** 2)
+        DsR = jnp.where(eq, 0.0,
+                        jnp.where(free_row, _BIG_SIGMA,
+                                  1.0 / jnp.maximum(sigma_sR, 1e-30)))
+        rhs_sR = jnp.where(eq, 0.0,
+                           -(-y_imp - mu_R * iLs + mu_R * iUs))
+        dR2 = 1.0 / jnp.maximum(1.0, jnp.abs(st.x_R)) ** 2
+        zeta_R = st.rest_lam * jnp.sqrt(mu_R)
+        sigma_xR = (mu_R * (iLx ** 2 + iUx ** 2) + zeta_R * dR2
+                    + jnp.where(fixed, _BIG_SIGMA, 0.0))
+        _, vjp_x = jax.vjp(fns.constraints, x)
+        Jty_imp = vjp_x(y_imp)[0]
+        rx_rest = jnp.where(fixed, 0.0,
+                            -(zeta_R * dR2 * (x - st.x_R) + Jty_imp
+                              - mu_R * iLx + mu_R * iUx))
+        rc_rest = DsR * rhs_sR   # c - s - p + n = 0 by construction
+
+        sigma_m = jnp.where(gn, sigma_xR, sigma_x)
+        ds_m = jnp.where(gn, DsR + Dp_el + Dn_el, Ds)
+        rx_m = jnp.where(gn, rx_rest, rx)
+        rc_m = jnp.where(gn, rc_rest, rc)
+
+        def rest_merit(xt, st_):
+            """Elastic restoration merit at (xt, st_): smoothed-L1
+            infeasibility + prox + barrier terms, with (p, n)
+            re-eliminated in closed form.  Returns (merit, theta)."""
+            rt = fns.constraints(xt) - st_
+            St = jnp.sqrt((rho_R * rt) ** 2 + mu_R ** 2)
+            nt = (mu_R - rho_R * rt + St) / (2.0 * rho_R)
+            pt = nt + rt
+            slog = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
+            elas = (jnp.sum(rho_R * (pt + nt))
+                    - mu_R * (slog(pt) + slog(nt)))
+            dL1 = jnp.where(mL, xt - xl, 1.0)
+            dU1 = jnp.where(mU, xu - xt, 1.0)
+            dL2 = jnp.where(msL, st_ - cl, 1.0)
+            dU2 = jnp.where(msU, cu - st_, 1.0)
+            okb = (jnp.all(dL1 > 0) & jnp.all(dU1 > 0)
+                   & jnp.all(dL2 > 0) & jnp.all(dU2 > 0))
+            bar = -mu_R * (slog(dL1) + slog(dU1) + slog(dL2) + slog(dU2))
+            prox = 0.5 * zeta_R * jnp.dot(dR2 * (xt - st.x_R),
+                                          xt - st.x_R)
+            theta_t = jnp.sum(jnp.abs(rt))
+            return jnp.where(okb, elas + bar + prox, jnp.inf), theta_t
+
+        def restoration_step(live):
+            """One elastic-restoration iteration from the shared
+            merged solve (dx_gn, dy_gn).  ``live`` gates the
+            backtracking loops: lanes not in restoration exit their
+            while_loops immediately (trip counts are max-over-lanes
+            under vmap).  Falls back to steepest descent on the same
+            merit when the elastic Newton step fails."""
+            dxr = jnp.where(fixed, 0.0, dx_gn)
+            dsr = jnp.where(eq, 0.0, DsR * (dy_gn + rhs_sR))
+            fin = jnp.all(jnp.isfinite(dxr)) & jnp.all(jnp.isfinite(dsr))
+            dxr = jnp.where(fin, dxr, 0.0)
+            dsr = jnp.where(fin, dsr, 0.0)
+
+            # merit at the current point, from already-known pieces
+            slog = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
+            M0 = (jnp.sum(rho_R * (p_el + n_el))
+                  - mu_R * (slog(p_el) + slog(n_el))
+                  - mu_R * (slog(dLx) + slog(dUx) + slog(dLs)
+                            + slog(dUs))
+                  + 0.5 * zeta_R * jnp.dot(dR2 * (x - st.x_R),
+                                           x - st.x_R))
+
+            tau_R = jnp.maximum(opt.tau_min, 1.0 - mu_R)
+
+            def ftb(dxx, dss):
+                return jnp.minimum(
+                    jnp.minimum(_ftb_alpha(dLx, dxx, mL, tau_R),
+                                _ftb_alpha(dUx, -dxx, mU, tau_R)),
+                    jnp.minimum(_ftb_alpha(dLs, dss, msL, tau_R),
+                                _ftb_alpha(dUs, -dss, msU, tau_R)))
+
+            def backtrack(dxx, dss, a0):
+                def bt_cond(carry):
+                    a, j, ok, Mt, th = carry
+                    return (~ok) & (j < 15) & live
+
+                def bt_body(carry):
+                    a, j, _, _, _ = carry
+                    Mt, th = rest_merit(x + a * dxx, s + a * dss)
+                    ok = Mt <= M0 - 1e-12 * jnp.abs(M0)
+                    return (jnp.where(ok, a, a * 0.5), j + 1, ok, Mt,
+                            th)
+
+                return jax.lax.while_loop(
+                    bt_cond, bt_body,
+                    (a0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                     jnp.asarray(jnp.inf, dtype),
+                     jnp.asarray(jnp.inf, dtype)))
+
+            a_el, _, red_el, _, th_el = backtrack(dxr, dsr, ftb(dxr, dsr))
+            use_el = fin & red_el
+
+            # steepest-descent fallback on the same merit (its exact
+            # negative gradient is the residual pair below)
+            dx_c = rx_rest
+            ds_c = jnp.where(eq, 0.0, rhs_sR)
+            scale_c = 1.0 / jnp.maximum(
+                1.0, jnp.maximum(jnp.max(jnp.abs(dx_c)),
+                                 jnp.max(jnp.abs(ds_c))))
+            dx_c = dx_c * scale_c
+            ds_c = ds_c * scale_c
+            a_c, _, red_c, _, th_c = backtrack(dx_c, ds_c,
+                                               ftb(dx_c, ds_c))
+
+            a_use = jnp.where(use_el, a_el, a_c)
+            dx_use = jnp.where(use_el, dxr, dx_c)
+            ds_use = jnp.where(use_el, dsr, ds_c)
+            reduced = use_el | red_c
+            x_n = jnp.where(reduced, x + a_use * dx_use, x)
+            s_n = jnp.where(reduced, s + a_use * ds_use, s)
+            theta_r = jnp.where(use_el, th_el,
+                                jnp.where(red_c, th_c, theta_now))
+
+            # prox-weight adaptation (LM-like) on the elastic step
+            lam_n = jnp.where(use_el & (a_el > 0.9),
+                              jnp.maximum(st.rest_lam / 3.0, 1.0),
+                              jnp.where(use_el, st.rest_lam,
+                                        jnp.minimum(st.rest_lam * 10.0,
+                                                    1e6)))
+            # first-order certificate of the feasibility problem: the
+            # gradient of 0.5||c - s||^2 (distinguishes genuine local
+            # infeasibility from slow restoration progress)
+            gx = jnp.where(fixed, 0.0, vjp_x(r_rest)[0])
+            gs = jnp.where(eq, 0.0, -r_rest)
+            feas_grad = jnp.sqrt(jnp.dot(gx, gx) + jnp.dot(gs, gs))
+            return x_n, s_n, reduced, lam_n, feas_grad, theta_r
+
+        # -- direction with inertia-free curvature correction ---------
+        def lag_grad(xx):
+            _, vj = jax.vjp(fns.constraints, xx)
+            return fns.gradient(xx) + vj(y)[0]
+
+        def compute_dir(delta_w, delta_c):
+            """Factor once per regularization trial; the factorization
+            rides in the retry-loop carry so the SOC re-solve below
+            reuses it instead of re-factoring an unchanged matrix.
+            Regularization applies to regular lanes only (restoration
+            lanes' LM damping rides in sigma_m already)."""
+            fac = fns.kkt_factor(prep,
+                                 sigma_m + jnp.where(gn, 0.0, delta_w),
+                                 ds_m + jnp.where(gn, 0.0, delta_c),
+                                 gn)
+            dxx, dyy, rres = fns.kkt_apply(fac, rx_m, rc_m)
+            dxx = jnp.where(fixed, 0.0, dxx)
+            dss = Ds * (dyy + rhs_s)
+            dss = jnp.where(eq, 0.0, dss)
+            return dxx, dyy, dss, fac, rres
+
+        def dir_quality(dxx, dyy, dss, delta_w, rres):
+            finite = (jnp.all(jnp.isfinite(dxx))
+                      & jnp.all(jnp.isfinite(dyy)))
+            # A near-singular iteration matrix (degenerate
+            # constraint rows: vanishing gradient with an active
+            # slack bound, e.g. gated path inequalities outside
+            # their region) shows up as an exploding multiplier
+            # step long before it turns non-finite.  Treat it like
+            # singularity and let the retry loop raise delta_c —
+            # the inertia-free analog of Ipopt's delta_c
+            # perturbation for rank-deficient Jacobians.
+            dy_ok = jnp.max(jnp.abs(dyy)) <= 1e12
+            healthy = finite & dy_ok
+            # Post-refinement relative KKT residual: W + Sigma is
+            # legitimately indefinite at a constrained optimum, and
+            # the pivoting-free structured factorization can lose
+            # all accuracy on it (tiny pivots) while every entry
+            # stays finite and the directional-curvature test
+            # passes on the garbage step.  A trial only counts as
+            # solved when the Newton system was actually solved.
+            solved = rres <= opt.eta_kkt_resid
+            Wdx = jax.jvp(lag_grad, (x,), (dxx,))[1]
+            curv = (jnp.dot(dxx, Wdx) + jnp.dot(sigma_x * dxx, dxx)
+                    + delta_w * jnp.dot(dxx, dxx)
+                    + jnp.dot(sigma_s * dss, dss))
+            nrm = jnp.dot(dxx, dxx) + jnp.dot(dss, dss)
+            if opt.trace:
+                jax.debug.print(
+                    'TRIAL dw={dw:.1e} rres={rr:.2e} curv={cv:.3e} '
+                    'nrm={nm:.3e} healthy={h} dymax={dm:.2e}',
+                    dw=delta_w, rr=rres, cv=curv, nm=nrm, h=healthy,
+                    dm=jnp.max(jnp.abs(dyy)))
+            # restoration lanes always pass: their GN step is judged
+            # by the restoration branch, and they must not drive the
+            # regular lanes' regularization retry loop
+            ok = (healthy & solved & (curv >= opt.kappa_curv * nrm)) | gn
+            return ok, healthy
+
+        def dir_cond(carry):
+            _, _, _, _, _, _, _, tries, ok = carry
+            return (~ok) & (tries < 14)
+
+        def dir_body(carry):
+            dxx, dyy, dss, fac, dw, dc, healthy_prev, tries, _ = carry
+            # delta_w control, adapted from Waechter-Biegler
+            # IC-1..IC-6 for an INERTIA-FREE solver: Ipopt reads
+            # the exact inertia off its pivoted LDL^T and sets
+            # delta_w to exactly the level the curvature needs.
+            # The structured pivoting-free factorization has no
+            # inertia signal — a slightly-damped saddle system
+            # passes both our trial checks (small KKT residual,
+            # nonnegative directional curvature) while giving wild
+            # steps — so the cross-ITERATION delta_w policy runs on
+            # line-search and optimality-error feedback instead:
+            #
+            #   * alpha_last ~ 1 and E improving  -> decay /3
+            #     (IC-3's kappa_w-; lets dw fall below any fixed
+            #     floor so the endgame turns (super)linear -> the
+            #     9-link chain stalled at inf_pr 4e-5 with dw
+            #     pinned at 1e-4, converges to 1e-9 with decay);
+            #   * 0 < alpha_last < 1e-2          -> grow x8
+            #     (steps the filter keeps cutting mean too LITTLE
+            #     damping: push toward a tamer gradient-like step;
+            #     alpha = 0 is a failed search = restoration's
+            #     business);
+            #   * at acceptable E that has flattened -> freeze
+            #     (rounding floor: decay probing there feeds
+            #     slightly-sloppy solves back into the iterate —
+            #     observed pr degrading x9/iter on quarter-car
+            #     until the warm start was destroyed);
+            #   * otherwise                       -> hold.
+            #
+            # WITHIN an iteration the retry ladder is W-B: first
+            # ever regularization jumps to delta_w_0 = 1e-4 and
+            # escalates x100, later ones escalate x8 from the
+            # feedback value; a SINGULAR trial (non-finite factor /
+            # blown multiplier step) also escalates x100 since the
+            # start can sit decades below the useful range.
+            # Singularity and indefiniteness have distinct cures
+            # (IC-2 vs IC-5): a singular trial with delta_c still
+            # zero first retries with delta_c alone (rank-deficient
+            # constraint rows, e.g. a vacuous 0 = 0 row, need no
+            # Hessian damping).
+            was_zero = st.delta_w == 0.0
+            good_step = st.alpha_last >= 0.9
+            bad_step = (st.alpha_last > 0.0) & (st.alpha_last < 1e-2)
+            improving = st.E_last < 0.99 * st.E_prev
+            freeze = (st.accept_count > 0) & ~improving
+            first_retry = jnp.where(
+                freeze & ~was_zero, st.delta_w,
+                jnp.where(
+                    bad_step & ~was_zero,
+                    jnp.minimum(st.delta_w * 8.0, 1e6),
+                    jnp.where(
+                        was_zero,
+                        jnp.asarray(opt.delta_w_init * 1e4, dtype),
+                        jnp.where(
+                            good_step,
+                            jnp.maximum(opt.delta_w_min,
+                                        st.delta_w * 0.33),
+                            st.delta_w))))
+            growth = jnp.where(was_zero | ~healthy_prev, 100.0, 8.0)
+            dw_candidate = jnp.where(
+                dw == 0.0, first_retry,
+                jnp.minimum(dw * growth, opt.delta_w_max))
+            dc_only = (~healthy_prev) & (dc == 0.0)
+            dw_new = jnp.where(dc_only, dw, dw_candidate)
+            # Ipopt's delta_c is transient: a mu-scaled constraint
+            # damping applied while this iteration's factorization
+            # sequence keeps coming back singular (delta_c_bar *
+            # mu^kappa_c with delta_c_bar = 1e-8, kappa_c = 1/4) —
+            # NOT a persistent state that compounds across
+            # iterations (a x100 ratchet there poisons every later
+            # factorization and stalls warm-started solves).
+            # a STILL-singular trial escalates delta_c x100:
+            # structurally rank-deficient Jacobians (e.g. final-node
+            # path-constraint rows spanned by the instance rows
+            # pinning every state there, as in the parallel-park
+            # problem — J loses exactly one rank per such row) need
+            # far more than Ipopt's mu-scaled seed for the pivoting-
+            # free structured factorization to produce a bounded
+            # least-squares-like dy.
+            dc_new = jnp.where(healthy_prev, dc,
+                               jnp.maximum(1e-8 * mu ** 0.25,
+                                           opt.delta_c_init))
+            dxx, dyy, dss, fac, rres = compute_dir(dw_new, dc_new)
+            ok, healthy = dir_quality(dxx, dyy, dss, dw_new, rres)
+            return (dxx, dyy, dss, fac, dw_new, dc_new, healthy,
+                    tries + 1, ok)
+
+        dx, dy, ds, fac0, rres0 = compute_dir(jnp.asarray(0.0, dtype),
+                                              jnp.asarray(0.0, dtype))
+        # the trial-0 solution of the merged system IS the damped
+        # Gauss-Newton step for restoration lanes; capture it before
+        # the retry loop perturbs regular lanes
+        dx_gn, dy_gn = dx, dy
+        ok0, healthy0 = dir_quality(dx, dy, ds,
+                                    jnp.asarray(0.0, dtype), rres0)
+        (dx, dy, ds, fac_used, delta_w_used, delta_c, _, _,
+         dir_ok) = jax.lax.while_loop(
+                dir_cond, dir_body,
+                (dx, dy, ds, fac0, jnp.asarray(0.0, dtype),
+                 jnp.asarray(0.0, dtype), healthy0,
+                 jnp.asarray(0, jnp.int32), ok0))
+        dir_bad = ~dir_ok
+        dx = jnp.where(dir_bad, 0.0, dx)
+        dy = jnp.where(dir_bad, 0.0, dy)
+        ds = jnp.where(dir_bad, 0.0, ds)
+
         # ================================================================
         # branch 1: regular filter-IPM step
         # ================================================================
         def ipm_branch(_):
-            dLx = jnp.where(mL, x - xl, 1.0)
-            dUx = jnp.where(mU, xu - x, 1.0)
-            dLs = jnp.where(msL, s - cl, 1.0)
-            dUs = jnp.where(msU, cu - s, 1.0)
-            iLx = _masked_inv(dLx, mL)
-            iUx = _masked_inv(dUx, mU)
-            iLs = _masked_inv(dLs, msL)
-            iUs = _masked_inv(dUs, msU)
-
-            SigL = zL * iLx
-            SigU = zU * iUx
-            sigma_x = SigL + SigU + jnp.where(fixed, _BIG_SIGMA, 0.0)
-            SigsL = wL * iLs
-            SigsU = wU * iUs
-            sigma_s = SigsL + SigsU
-            free_row = ~eq & ~msL & ~msU
-            Ds = jnp.where(eq, 0.0,
-                           jnp.where(free_row, _BIG_SIGMA,
-                                     1.0 / jnp.maximum(sigma_s, 1e-30)))
-
-            rx = -(g + Jty - mu * iLx + mu * iUx)
-            rx = jnp.where(fixed, 0.0, rx)
-            rhs_s = -(-y - mu * iLs + mu * iUs)
-            rhs_s = jnp.where(eq, 0.0, rhs_s)
-            rc = -(c - s) + Ds * rhs_s
-
-            # -- direction with inertia-free curvature correction --------
-            def lag_grad(xx):
-                _, vj = jax.vjp(fns.constraints, xx)
-                return fns.gradient(xx) + vj(y)[0]
-
-            def compute_dir(delta_w, delta_c):
-                """Factor once per regularization trial; the
-                factorization rides in the retry-loop carry so the SOC
-                re-solve below reuses it instead of re-factoring an
-                unchanged matrix."""
-                fac = fns.kkt_factor(prep, sigma_x + delta_w,
-                                     Ds + delta_c)
-                dxx, dyy, rres = fns.kkt_apply(fac, rx, rc)
-                dxx = jnp.where(fixed, 0.0, dxx)
-                dss = Ds * (dyy + rhs_s)
-                dss = jnp.where(eq, 0.0, dss)
-                return dxx, dyy, dss, fac, rres
-
-            def dir_quality(dxx, dyy, dss, delta_w, rres):
-                finite = (jnp.all(jnp.isfinite(dxx))
-                          & jnp.all(jnp.isfinite(dyy)))
-                # A near-singular iteration matrix (degenerate
-                # constraint rows: vanishing gradient with an active
-                # slack bound, e.g. gated path inequalities outside
-                # their region) shows up as an exploding multiplier
-                # step long before it turns non-finite.  Treat it like
-                # singularity and let the retry loop raise delta_c —
-                # the inertia-free analog of Ipopt's delta_c
-                # perturbation for rank-deficient Jacobians.
-                dy_ok = jnp.max(jnp.abs(dyy)) <= 1e12
-                healthy = finite & dy_ok
-                # Post-refinement relative KKT residual: W + Sigma is
-                # legitimately indefinite at a constrained optimum, and
-                # the pivoting-free structured factorization can lose
-                # all accuracy on it (tiny pivots) while every entry
-                # stays finite and the directional-curvature test
-                # passes on the garbage step.  A trial only counts as
-                # solved when the Newton system was actually solved.
-                solved = rres <= opt.eta_kkt_resid
-                Wdx = jax.jvp(lag_grad, (x,), (dxx,))[1]
-                curv = (jnp.dot(dxx, Wdx) + jnp.dot(sigma_x * dxx, dxx)
-                        + delta_w * jnp.dot(dxx, dxx)
-                        + jnp.dot(sigma_s * dss, dss))
-                nrm = jnp.dot(dxx, dxx) + jnp.dot(dss, dss)
-                ok = healthy & solved & (curv >= opt.kappa_curv * nrm)
-                return ok, healthy
-
-            def dir_cond(carry):
-                _, _, _, _, _, _, _, tries, ok = carry
-                return (~ok) & (tries < 14)
-
-            def dir_body(carry):
-                dxx, dyy, dss, fac, dw, dc, healthy_prev, tries, _ = carry
-                # delta_w control, adapted from Waechter-Biegler
-                # IC-1..IC-6 for an INERTIA-FREE solver: Ipopt reads
-                # the exact inertia off its pivoted LDL^T and sets
-                # delta_w to exactly the level the curvature needs.
-                # The structured pivoting-free factorization has no
-                # inertia signal — a slightly-damped saddle system
-                # passes both our trial checks (small KKT residual,
-                # nonnegative directional curvature) while giving wild
-                # steps — so the cross-ITERATION delta_w policy runs on
-                # line-search and optimality-error feedback instead:
-                #
-                #   * alpha_last ~ 1 and E improving  -> decay /3
-                #     (IC-3's kappa_w-; lets dw fall below any fixed
-                #     floor so the endgame turns (super)linear -> the
-                #     9-link chain stalled at inf_pr 4e-5 with dw
-                #     pinned at 1e-4, converges to 1e-9 with decay);
-                #   * 0 < alpha_last < 1e-2          -> grow x8
-                #     (steps the filter keeps cutting mean too LITTLE
-                #     damping: push toward a tamer gradient-like step;
-                #     alpha = 0 is a failed search = restoration's
-                #     business);
-                #   * at acceptable E that has flattened -> freeze
-                #     (rounding floor: decay probing there feeds
-                #     slightly-sloppy solves back into the iterate —
-                #     observed pr degrading x9/iter on quarter-car
-                #     until the warm start was destroyed);
-                #   * otherwise                       -> hold.
-                #
-                # WITHIN an iteration the retry ladder is W-B: first
-                # ever regularization jumps to delta_w_0 = 1e-4 and
-                # escalates x100, later ones escalate x8 from the
-                # feedback value; a SINGULAR trial (non-finite factor /
-                # blown multiplier step) also escalates x100 since the
-                # start can sit decades below the useful range.
-                # Singularity and indefiniteness have distinct cures
-                # (IC-2 vs IC-5): a singular trial with delta_c still
-                # zero first retries with delta_c alone (rank-deficient
-                # constraint rows, e.g. a vacuous 0 = 0 row, need no
-                # Hessian damping).
-                was_zero = st.delta_w == 0.0
-                good_step = st.alpha_last >= 0.9
-                bad_step = (st.alpha_last > 0.0) & (st.alpha_last < 1e-2)
-                improving = st.E_last < 0.99 * st.E_prev
-                freeze = (st.accept_count > 0) & ~improving
-                first_retry = jnp.where(
-                    freeze & ~was_zero, st.delta_w,
-                    jnp.where(
-                        bad_step & ~was_zero,
-                        jnp.minimum(st.delta_w * 8.0, 1e6),
-                        jnp.where(
-                            was_zero,
-                            jnp.asarray(opt.delta_w_init * 1e4, dtype),
-                            jnp.where(
-                                good_step,
-                                jnp.maximum(opt.delta_w_min,
-                                            st.delta_w * 0.33),
-                                st.delta_w))))
-                growth = jnp.where(was_zero | ~healthy_prev, 100.0, 8.0)
-                dw_candidate = jnp.where(
-                    dw == 0.0, first_retry,
-                    jnp.minimum(dw * growth, opt.delta_w_max))
-                dc_only = (~healthy_prev) & (dc == 0.0)
-                dw_new = jnp.where(dc_only, dw, dw_candidate)
-                # Ipopt's delta_c is transient: a mu-scaled constraint
-                # damping applied while this iteration's factorization
-                # sequence keeps coming back singular (delta_c_bar *
-                # mu^kappa_c with delta_c_bar = 1e-8, kappa_c = 1/4) —
-                # NOT a persistent state that compounds across
-                # iterations (a x100 ratchet there poisons every later
-                # factorization and stalls warm-started solves).
-                dc_new = jnp.where(healthy_prev, dc,
-                                   jnp.maximum(1e-8 * mu ** 0.25,
-                                               opt.delta_c_init))
-                dxx, dyy, dss, fac, rres = compute_dir(dw_new, dc_new)
-                ok, healthy = dir_quality(dxx, dyy, dss, dw_new, rres)
-                return (dxx, dyy, dss, fac, dw_new, dc_new, healthy,
-                        tries + 1, ok)
-
-            dx, dy, ds, fac0, rres0 = compute_dir(jnp.asarray(0.0, dtype),
-                                                  jnp.asarray(0.0, dtype))
-            ok0, healthy0 = dir_quality(dx, dy, ds,
-                                        jnp.asarray(0.0, dtype), rres0)
-            (dx, dy, ds, fac_used, delta_w_used, delta_c, _, _,
-             dir_ok) = jax.lax.while_loop(
-                    dir_cond, dir_body,
-                    (dx, dy, ds, fac0, jnp.asarray(0.0, dtype),
-                     jnp.asarray(0.0, dtype), healthy0,
-                     jnp.asarray(0, jnp.int32), ok0))
-            dir_bad = ~dir_ok
-            dx = jnp.where(dir_bad, 0.0, dx)
-            dy = jnp.where(dir_bad, 0.0, dy)
-            ds = jnp.where(dir_bad, 0.0, ds)
-
             # -- fraction to boundary ------------------------------------
             a_pr_max = jnp.minimum(
                 jnp.minimum(_ftb_alpha(dLx, dx, mL, tau),
@@ -728,7 +851,10 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 rc_soc = -c_soc + Ds * rhs_s
                 # reuse the accepted direction's factorization: the SOC
                 # matrix is identical, only the rhs changed
-                dxx, dyy, _ = fns.kkt_apply(fac_used, rx, rc_soc)
+                if fns.kkt_apply_soc is not None:
+                    dxx, dyy = fns.kkt_apply_soc(fac_used, rx, rc_soc)
+                else:
+                    dxx, dyy, _ = fns.kkt_apply(fac_used, rx, rc_soc)
                 dxx = jnp.where(fixed, 0.0, dxx)
                 dss = Ds * (dyy + rhs_s)
                 dss = jnp.where(eq, 0.0, dss)
@@ -767,11 +893,15 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 alpha_new = jnp.where(acc, alpha, alpha * 0.5)
                 return alpha_new, j + 1, acc, is_ftype
 
+            # the loop starts pre-accepted when the full step or the
+            # SOC step already passed: zero trial evaluations then
+            # (under vmap the trip count is the max over lanes, so an
+            # always-run first trip taxes every converged-lane batch)
             alpha_bt, _, acc_bt, ftype_bt = jax.lax.while_loop(
                 ls_cond, ls_body,
                 (a_pr_max * 0.5, jnp.asarray(1, jnp.int32),
-                 jnp.asarray(False), jnp.asarray(False)))
-            acc_bt = acc_bt & ~dir_bad
+                 acc1 | acc_soc, jnp.asarray(False)))
+            acc_bt = acc_bt & ~(acc1 | acc_soc) & ~dir_bad
 
             use_soc = (~acc1) & acc_soc
             use_bt = (~acc1) & (~use_soc) & acc_bt
@@ -839,28 +969,29 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                     fth, fph, fcn, enter_rest,
                     jnp.where(enter_rest, theta0, st.rest_theta),
                     st.rest_lam, delta_w_used, delta_c, alpha,
-                    stall_count, jnp.asarray(False))
+                    stall_count, jnp.asarray(False), mu, st.mu_R)
 
         # ================================================================
         # branch 2: feasibility restoration step
         # ================================================================
         def rest_branch(_):
-            x_r, s_r, reduced, lam_n, feas_grad = restoration_step(
-                prep, x, s, st.rest_lam)
-            theta_r = jnp.sum(jnp.abs(fns.constraints(x_r) - s_r))
+            x_r, s_r, reduced, lam_n, feas_grad, theta_r = \
+                restoration_step(st.in_rest)
             # local-infeasibility certificate: the feasibility problem
             # is first-order stationary at theta > 0
             certified = (feas_grad <= 1e-6 * jnp.maximum(1.0, theta_r)) \
                 & (theta_r > theta_min)
-            # require >= 0.1% reduction per iteration: slower progress
-            # (observed: 0.05%/iter crawls on the 9-link chain) means
-            # the damped GN has hit its useful limit — hand control
-            # back to the IPM from the improved point rather than
-            # burning the whole restoration budget
+            # stalled progress at the current smoothing first SHARPENS
+            # the elastic L1 (mu_R x0.2 toward its floor); only a stall
+            # at the floor counts toward the stuck exit
             no_prog = theta_r > 0.999 * theta_now
-            stall_r = jnp.where(no_prog, st.stall_count + 1,
+            mu_floor = jnp.maximum(mu, opt.tol)
+            sharpen = no_prog & (mu_R > 1.001 * mu_floor)
+            mu_R_n = jnp.where(sharpen,
+                               jnp.maximum(0.2 * mu_R, mu_floor), mu_R)
+            stall_r = jnp.where(no_prog & ~sharpen, st.stall_count + 1,
                                 jnp.asarray(0, jnp.int32))
-            stuck = (~reduced) | (stall_r >= 10)
+            stuck = ((~reduced) & ~sharpen) | (stall_r >= 10)
             # exit on success, or force exit back to the IPM when
             # restoration stalls without an infeasibility certificate
             exit_now = ((theta_r <= jnp.maximum(
@@ -868,6 +999,17 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 | (theta_r <= opt.tol)
                 | (stuck & ~certified))
             rest_failed = stuck & certified
+            # mu kick: the GN restoration stalled far from feasibility
+            # WITHOUT an infeasibility certificate — the regular
+            # barrier problem is wedged (observed: tiny filter steps at
+            # mu = 0.1 ping-pong with stalled restoration until the
+            # budget dies, while the same problem solves cleanly from
+            # mu = 1).  Re-center on a stronger barrier before handing
+            # control back — the analog of Ipopt's restoration-phase mu
+            # re-initialization.  Never fires near feasibility, so
+            # warm-started solves keep their tiny mu.
+            kick = stuck & ~certified & (theta_r > 1e2 * theta_min)
+            mu_out = jnp.where(kick, jnp.minimum(10.0 * mu, 10.0), mu)
 
             dLx_e = jnp.where(mL, x_r - xl, 1.0)
             dUx_e = jnp.where(mU, xu - x_r, 1.0)
@@ -875,10 +1017,14 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             dUs_e = jnp.where(msU, cu - s_r, 1.0)
             # exit: reset equality multipliers, recenter bound duals
             y_n = jnp.where(exit_now, 0.0, y)
-            zL_n = jnp.where(exit_now, jnp.where(mL, mu / dLx_e, 0.0), zL)
-            zU_n = jnp.where(exit_now, jnp.where(mU, mu / dUx_e, 0.0), zU)
-            wL_n = jnp.where(exit_now, jnp.where(msL, mu / dLs_e, 0.0), wL)
-            wU_n = jnp.where(exit_now, jnp.where(msU, mu / dUs_e, 0.0), wU)
+            zL_n = jnp.where(exit_now, jnp.where(mL, mu_out / dLx_e, 0.0),
+                             zL)
+            zU_n = jnp.where(exit_now, jnp.where(mU, mu_out / dUx_e, 0.0),
+                             zU)
+            wL_n = jnp.where(exit_now, jnp.where(msL, mu_out / dLs_e, 0.0),
+                             wL)
+            wU_n = jnp.where(exit_now, jnp.where(msU, mu_out / dUs_e, 0.0),
+                             wU)
 
             ftf, fpf, fcf = fresh_filter(theta_max)
             # Cap the re-admitted infeasibility at a multiple of the
@@ -899,11 +1045,12 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             return (x_r, s_r, y_n, zL_n, zU_n, wL_n, wU_n,
                     fth, fph, fcn, in_rest_next, st.rest_theta,
                     lam_n, st.delta_w, st.delta_c,
-                    jnp.asarray(0.0, dtype), stall_r, rest_failed)
+                    jnp.asarray(0.0, dtype), stall_r, rest_failed,
+                    mu_out, mu_R_n)
 
         (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, f_theta, f_phi, f_count,
          in_rest, rest_theta, rest_lam, delta_w, delta_c, alpha,
-         stall_count, rest_failed) = jax.lax.cond(
+         stall_count, rest_failed, mu, mu_R_next) = jax.lax.cond(
             st.in_rest, rest_branch, ipm_branch, operand=None)
 
         rest_total = st.rest_total + jnp.asarray(st.in_rest, jnp.int32)
@@ -972,6 +1119,17 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 al=alpha, rs=in_rest, th=theta_new,
                 ym=jnp.max(jnp.abs(y_n)), e0=E0)
 
+        # elastic-restoration init on FRESH entry: prox center is the
+        # entering iterate, the restoration barrier starts at the
+        # infeasibility scale (W-B: mu_R = max(mu, ||c||_inf)), the
+        # prox multiplier resets
+        fresh_entry = in_rest & ~st.in_rest
+        x_R_n = jnp.where(fresh_entry, x_n, st.x_R)
+        mu_R_n = jnp.where(fresh_entry,
+                           jnp.minimum(jnp.maximum(mu, inf_pr), 1e2),
+                           mu_R_next)
+        rest_lam_n = jnp.where(fresh_entry, 1.0, rest_lam)
+
         return _State(
             x=sel(x_n, x), s=sel(s_n, s), y=sel(y_n, y),
             zL=sel(zL_n, zL), zU=sel(zU_n, zU),
@@ -979,15 +1137,18 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             mu=mu, delta_w=delta_w, delta_c=delta_c,
             f_theta=f_theta, f_phi=f_phi, f_count=f_count,
             in_rest=in_rest, rest_theta=rest_theta, rest_total=rest_total,
-            rest_lam=rest_lam, theta_prev=theta_now,
+            rest_lam=rest_lam_n, theta_prev=theta_now,
             stall_count=stall_count,
             theta_min=theta_min, theta_max=theta_max,
             it=st.it + 1, status=status, done=done,
             accept_count=accept_count,
             obj_history=obj_history, inf_pr=inf_pr, inf_du=inf_du,
-            alpha_last=alpha, E_last=E0, E_prev=st.E_last)
+            alpha_last=alpha, E_last=E0, E_prev=st.E_last,
+            g=sel(g_n, g), c=sel(c_n, c), Jty=sel(Jty_n, Jty),
+            x_R=x_R_n, mu_R=mu_R_n)
 
     ft_i, fp_i, fc_i = fresh_filter(theta_max_init)
+    g_i, c_i, Jty_i = eval_point(x_init, y_init)
     st0 = _State(
         x=x_init, s=s_init, y=y_init, zL=zL_init, zU=zU_init,
         wL=wL_init, wU=wU_init,
@@ -998,7 +1159,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         in_rest=jnp.asarray(False),
         rest_theta=jnp.asarray(0.0, dtype),
         rest_total=jnp.asarray(0, jnp.int32),
-        rest_lam=jnp.asarray(1e-6, dtype),
+        rest_lam=jnp.asarray(1.0, dtype),
         theta_prev=jnp.asarray(jnp.inf, dtype),
         stall_count=jnp.asarray(0, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
@@ -1011,7 +1172,9 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         alpha_last=jnp.asarray(0.0, dtype),
         E_last=jnp.asarray(jnp.inf, dtype),
         E_prev=jnp.asarray(jnp.inf, dtype),
-        theta_min=theta_min_init, theta_max=theta_max_init)
+        theta_min=theta_min_init, theta_max=theta_max_init,
+        g=g_i, c=c_i, Jty=Jty_i,
+        x_R=x_init, mu_R=jnp.asarray(opt.mu_init, dtype))
     if resume_state is not None:
         if refill is None:
             st0 = resume_state
@@ -1080,8 +1243,11 @@ def make_nlp_functions_dense(objective, constraints,
         K = K.at[n:, n:].set(-jnp.diag(ds))
         return K
 
-    def kkt_factor(prep, sigma_x, ds):
+    def kkt_factor(prep, sigma_x, ds, gn_mask=None):
         H, J = prep
+        if gn_mask is not None:
+            # Gauss-Newton mode (restoration lanes): drop the Hessian
+            H = jnp.where(gn_mask, 0.0, H)
         return _assemble(H, J, sigma_x, ds)
 
     def kkt_apply(K, rx, rc):

@@ -141,16 +141,93 @@ def _equilibrate(D, E, F, Kbb):
     return D, E, F, Kbb, sn, sb
 
 
+def _assemble_node_blocks_nl(blocks: KKTBlocks):
+    """Lane-major assembly: returns D (d, d, N), E (d, d, N),
+    F (d, b, N) and the border matrix Kbb (b, b).
+
+    The node axis sits on the TPU lane dimension (ops/lanes.py): the
+    natural (N, d, d) layout tiles the trailing (d, d) to (8, 128),
+    a ~40x physical blow-up for d ~ 5 that made every factorization
+    pass ~99% padding traffic.
+    """
+    from ..ops.lanes import to_lanes, transpose_nl
+    N, nz, _ = blocks.Hd.shape
+    M = blocks.P.shape[1]
+    bw = blocks.Hw.shape[2]
+    o = blocks.Gz.shape[0]
+    d = nz + M
+    dt = blocks.Hd.dtype
+
+    PT = to_lanes(blocks.P)                         # (M, nz, N)
+    D = jnp.zeros((d, d, N), dt)
+    D = D.at[:nz, :nz, :].set(to_lanes(blocks.Hd))
+    D = D.at[:nz, nz:, :].set(transpose_nl(PT))
+    D = D.at[nz:, :nz, :].set(PT)
+    eyeM = jnp.eye(M, dtype=dt)[:, :, None]
+    D = D.at[nz:, nz:, :].set(-eyeM * blocks.Ds.T[:, None, :])
+
+    E = jnp.zeros((d, d, N), dt)
+    E = E.at[:nz, :nz, :].set(transpose_nl(to_lanes(blocks.Ho)))
+    E = E.at[nz:, :nz, :].set(to_lanes(blocks.Q))
+    E = jnp.where(jnp.arange(N) > 0, E, 0.0)
+
+    F = jnp.zeros((d, bw + o, N), dt)
+    F = F.at[:nz, :bw, :].set(to_lanes(blocks.Hw))
+    if o:
+        F = F.at[:nz, bw:, :].set(jnp.transpose(blocks.Gz, (2, 0, 1)))
+    F = F.at[nz:, :bw, :].set(to_lanes(blocks.C))
+
+    Kbb = jnp.zeros((bw + o, bw + o), dt)
+    Kbb = Kbb.at[:bw, :bw].set(blocks.Hww)
+    if o:
+        Kbb = Kbb.at[:bw, bw:].set(blocks.Gw.T)
+        Kbb = Kbb.at[bw:, :bw].set(blocks.Gw)
+        Kbb = Kbb.at[bw:, bw:].set(-jnp.diag(blocks.Di))
+    return D, E, F, Kbb
+
+
+def _equilibrate_nl(D, E, F, Kbb):
+    """Symmetric Jacobi scaling, lane-major layout (see _equilibrate).
+    Scales are sn (d, N) and sb (b,)."""
+    d = D.shape[-3]
+    diag_nodes = jnp.abs(jnp.stack([D[..., i, i, :] for i in range(d)],
+                                   axis=-2))                   # (d, N)
+    diag_border = jnp.abs(jnp.diagonal(Kbb, axis1=-2, axis2=-1))
+    big = jnp.maximum(jnp.max(diag_nodes), 1.0)
+    floor = 1e-12 * big
+
+    def inv_sqrt(v):
+        return 1.0 / jnp.sqrt(jnp.maximum(v, floor))
+
+    sn = inv_sqrt(diag_nodes)
+    sb = inv_sqrt(diag_border) if diag_border.size else diag_border
+    D = D * sn[..., :, None, :] * sn[..., None, :, :]
+    sn_prev = jnp.concatenate([sn[..., :1], sn[..., :-1]], axis=-1)
+    E = E * sn[..., :, None, :] * sn_prev[..., None, :, :]
+    F = F * sn[..., :, None, :] * sb[..., None, :, None]
+    Kbb = Kbb * sb[..., :, None] * sb[..., None, :]
+    return D, E, F, Kbb, sn, sb
+
+
+def _cast_blocks(blocks: KKTBlocks, factor_dtype):
+    """Cast the block fields to the factorization dtype BEFORE
+    assembly/equilibration: on TPU the working dtype is emulated
+    float64 (float-float pairs), so running the O(N d^2) assembly +
+    scaling passes emulated doubles their memory traffic for rounding
+    the downstream f32 factorization would lose anyway.  Iterative
+    refinement against the full-precision operator (the uncast
+    ``blocks``) recovers f64 accuracy as before."""
+    if factor_dtype is None or blocks.Hd.dtype == jnp.dtype(factor_dtype):
+        return blocks
+    return jax.tree.map(lambda a: a.astype(factor_dtype), blocks)
+
+
 def factor_kkt(blocks: KKTBlocks, factor_dtype=None) -> KKTFactorization:
     """Block-tridiagonal forward elimination with border Schur
     accumulation.  RHS-independent; reuse across refinement solves."""
+    blocks = _cast_blocks(blocks, factor_dtype)
     D, E, F, Kbb = _assemble_node_blocks(blocks)
     D, E, F, Kbb, sn, sb = _equilibrate(D, E, F, Kbb)
-    if factor_dtype is not None:
-        D = D.astype(factor_dtype)
-        E = E.astype(factor_dtype)
-        F = F.astype(factor_dtype)
-        Kbb = Kbb.astype(factor_dtype)
     N, d, _ = D.shape
     b = F.shape[2]
     eye = jnp.eye(d, dtype=D.dtype)
@@ -278,24 +355,35 @@ def kkt_matvec(blocks: KKTBlocks, u, beta):
 
 def factor_kkt_cr(blocks: KKTBlocks, factor_dtype=None):
     """Parallel-cyclic-reduction factorization (log-depth;
-    TPU-friendly: every level is a fixed-shape batched matmul, so the
-    compiled program stays small).
+    TPU-friendly: every level is a fixed-shape lane-major block op, so
+    the compiled program stays small and pays no layout padding).
 
     Same equilibration and mixed-precision contract as ``factor_kkt``;
-    see ops/tridiag.py for the algorithm.
+    see ops/tridiag.py for the algorithm and ops/lanes.py for the
+    layout.  The cast to ``factor_dtype`` happens BEFORE assembly and
+    equilibration: on TPU the working dtype is emulated float64
+    (float-float pairs), and running the O(N d^2) assembly + scaling
+    passes emulated doubles their cost for accuracy the downstream
+    float32 factorization would round away.  Iterative refinement
+    against the full-precision operator recovers f64 accuracy.
     """
     from ..ops.tridiag import pcr_factor
-    D, E, F, Kbb = _assemble_node_blocks(blocks)
-    D, E, F, Kbb, sn, sb = _equilibrate(D, E, F, Kbb)
-    fac = pcr_factor(D, E, F, Kbb, factor_dtype=factor_dtype)
+    blocks = _cast_blocks(blocks, factor_dtype)
+    D, E, F, Kbb = _assemble_node_blocks_nl(blocks)
+    D, E, F, Kbb, sn, sb = _equilibrate_nl(D, E, F, Kbb)
+    fac = pcr_factor(D, E, F, Kbb)
     return (fac, sn, sb)
 
 
 def solve_factored_cr(fac3, r_nodes, r_border):
+    """Solve with a PCR factorization.  Interface matches
+    ``solve_factored``: r_nodes (N, d) — transposed to the lane-major
+    (d, N) layout internally."""
     from ..ops.tridiag import pcr_solve
     fac, sn, sb = fac3
-    u, beta = pcr_solve(fac, r_nodes * sn, r_border * sb)
-    return u * sn, beta * sb
+    r_nl = jnp.swapaxes(r_nodes, -1, -2)
+    u, beta = pcr_solve(fac, r_nl * sn, r_border * sb)
+    return jnp.swapaxes(u * sn, -1, -2), beta * sb
 
 
 def solve_structured_kkt(blocks: KKTBlocks, r_nodes, r_border,

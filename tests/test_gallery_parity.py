@@ -97,3 +97,29 @@ def test_hilly_race_implicit_data_transcription():
     assert np.all(np.isfinite(g))
     vals = np.asarray(prob.jacobian(guess))
     assert np.all(np.isfinite(vals))
+
+
+def test_betts_10_50_book_value():
+    """Cold-start e2e: the delay-equation port reaches the book's
+    objective 3.10812211 (cross-time instance constraints + one-sided
+    eom_bounds)."""
+    import betts_10_50
+    prob = betts_10_50.build_problem(num_nodes=201)
+    rng = np.random.default_rng(4)
+    sol, info = prob.solve(rng.random(prob.num_free) * 0.1)
+    assert info['status'] in (0, 1), info['status_msg']
+    assert abs(info['obj_val'] - betts_10_50.BOOK_OBJ) \
+        / betts_10_50.BOOK_OBJ < 0.03
+
+
+def test_path_constraints_cylinder():
+    """Algebraic path-constraint row (M = n + 1): the particle stays
+    on the cylinder and reaches the far side."""
+    import path_constraints
+    prob = path_constraints.build_problem(num_nodes=51)
+    rng = np.random.default_rng(0)
+    sol, info = prob.solve(rng.random(prob.num_free))
+    assert info['status'] in (0, 1), info['status_msg']
+    xs = prob.parse_free(sol)[0]
+    r2 = xs[0] ** 2 + xs[1] ** 2
+    np.testing.assert_allclose(r2, 1.0, atol=1e-6)
