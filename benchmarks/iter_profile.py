@@ -185,10 +185,13 @@ def main():
                           'kkt': args.kkt,
                           'backend': jax.default_backend()}), flush=True)
 
-        accounted = (results['eval_point'] * 2 + results['prepare']
+        # one eval_point (carried across iterations), one prep, ONE
+        # merged factor+apply (restoration shares it), light SOC
+        # apply (~half a refined apply), curvature jvp, restoration
+        # vjp, ~3 merit/filter constraint evals
+        accounted = (results['eval_point'] + results['prepare']
                      + results['factor_plus_apply']
-                     + results['feasibility_solve']
-                     + results['apply_refined']        # SOC
+                     + 0.5 * results['apply_refined']   # SOC (light)
                      + results['curvature_jvp']
                      + results['barrier_phi'] * 3)
         print(json.dumps({'metric': 'ipm_phase_ms', 'phase':
