@@ -24,6 +24,7 @@ def mesh():
     return Mesh(np.array(devs[:8]), ('node',))
 
 
+@pytest.mark.slow
 def test_spike_matches_unsharded(mesh):
     from opty_tpu.nlp.kkt import (_assemble_node_blocks, _equilibrate,
                                   factor_kkt, solve_factored)
@@ -49,6 +50,7 @@ def test_spike_matches_unsharded(mesh):
                                rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_spike_no_border(mesh):
     rng = np.random.default_rng(6)
     blocks = random_blocks(N=32, nz=2, M=2, bw=0, o=0)
@@ -65,6 +67,7 @@ def test_spike_no_border(mesh):
     assert beta_sp.shape == (0,)
 
 
+@pytest.mark.slow
 def test_sharded_structured_solve_refined(mesh):
     """Full wrapper (equilibration + f32 factor + refinement) matches
     the unsharded mixed-precision solver to tight tolerance."""
@@ -88,6 +91,7 @@ def test_sharded_structured_solve_refined(mesh):
                                rtol=1e-7, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_large_n_sharded(mesh):
     """A 100k-node system solves node-sharded (the P3 scale target)
     and satisfies the equations to refinement accuracy.  (At this size
@@ -106,3 +110,31 @@ def test_large_n_sharded(mesh):
     resid = max(float(jnp.max(jnp.abs(Ku - r_nodes))),
                 float(jnp.max(jnp.abs(Kb - r_border))))
     assert resid < 1e-7
+
+
+def test_spike_smoke_small_mesh():
+    """Default-suite SPIKE smoke test: 4-device mesh, tiny N — same
+    code path as the slow tests at a fraction of the shard_map
+    compile cost (the full-size variants are marked slow; run with
+    --runslow).  dryrun_multichip exercises the 8-device form every
+    round."""
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip('needs 4 virtual devices')
+    mesh4 = Mesh(np.array(devs[:4]), ('node',))
+    from opty_tpu.nlp.kkt import _assemble_node_blocks
+    rng = np.random.default_rng(9)
+    blocks = random_blocks(N=16, nz=2, M=1, bw=1, o=1)
+    D, E, F, Kbb = _assemble_node_blocks(blocks)
+    N, d, _ = D.shape
+    r = jnp.asarray(rng.normal(size=(N, d)))
+    rb = jnp.asarray(rng.normal(size=(F.shape[2],)))
+    u_sp, beta_sp = spike_solve(D, E, F, Kbb, r, rb, mesh4)
+    K = dense_kkt(blocks)
+    sol = np.linalg.solve(
+        K, np.concatenate([np.asarray(r).reshape(-1), np.asarray(rb)]))
+    np.testing.assert_allclose(np.asarray(u_sp),
+                               sol[:N * d].reshape(N, d),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(beta_sp), sol[N * d:],
+                               rtol=1e-8, atol=1e-8)
