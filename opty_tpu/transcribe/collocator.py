@@ -261,6 +261,115 @@ class ConstraintCollocator:
     def variable_duration(self):
         return self._variable_duration
 
+    # ------------------------------------------------------------------
+    # symbolic discretization introspection (reference API parity:
+    # opty/direct_collocation.py:2037-2156).  The numeric transcription
+    # never builds these — the per-node kernel IS the discretization —
+    # but users of the reference inspect the per-node symbols and the
+    # discretized EoMs, so they are synthesized lazily on demand with
+    # the reference's exact naming scheme (x -> xp/xi/xn, u -> ui/un).
+    # ------------------------------------------------------------------
+    def _discrete_symbols(self):
+        import sympy as sm
+        if getattr(self, '_disc_syms', None) is not None:
+            return self._disc_syms
+
+        def sym(f, suffix):
+            return sm.Symbol(f.__class__.__name__ + suffix, real=True)
+
+        def convert_input(f, lab):
+            if isinstance(f, sm.Derivative):     # dr(x(t))/dx(t)
+                var, (wrt, _) = f.args
+                return sm.Symbol(
+                    'd' + var.__class__.__name__ + lab + '_d'
+                    + wrt.__class__.__name__ + lab, real=True)
+            if f.args and f.args[0] != self.time_symbol:   # r(x(t))
+                di = sm.Symbol(f.args[0].__class__.__name__ + lab,
+                               real=True)
+                return sm.Function(f.__class__.__name__ + lab,
+                                   real=True)(di)
+            return sym(f, lab)                   # r(t)
+
+        xs = self.state_symbols
+        d = dict(
+            xp=tuple(sym(f, 'p') for f in xs),
+            xi=tuple(sym(f, 'i') for f in xs),
+            xn=tuple(sym(f, 'n') for f in xs),
+            ki=tuple(convert_input(f, 'i')
+                     for f in self.known_input_trajectories),
+            kn=tuple(convert_input(f, 'n')
+                     for f in self.known_input_trajectories),
+            ui=tuple(sym(f, 'i')
+                     for f in self.unknown_input_trajectories),
+            un=tuple(sym(f, 'n')
+                     for f in self.unknown_input_trajectories),
+        )
+        self._disc_syms = d
+        return d
+
+    @property
+    def previous_discrete_state_symbols(self):
+        return self._discrete_symbols()['xp']
+
+    @property
+    def current_discrete_state_symbols(self):
+        return self._discrete_symbols()['xi']
+
+    @property
+    def next_discrete_state_symbols(self):
+        return self._discrete_symbols()['xn']
+
+    @property
+    def current_known_discrete_specified_symbols(self):
+        return self._discrete_symbols()['ki']
+
+    @property
+    def next_known_discrete_specified_symbols(self):
+        return self._discrete_symbols()['kn']
+
+    @property
+    def current_unknown_discrete_specified_symbols(self):
+        return self._discrete_symbols()['ui']
+
+    @property
+    def next_unknown_discrete_specified_symbols(self):
+        return self._discrete_symbols()['un']
+
+    @property
+    def current_discrete_specified_symbols(self):
+        d = self._discrete_symbols()
+        return d['ki'] + d['ui']
+
+    @property
+    def next_discrete_specified_symbols(self):
+        d = self._discrete_symbols()
+        return d['kn'] + d['un']
+
+    @property
+    def discrete_eom(self):
+        """The symbolically discretized equations of motion (backward
+        Euler: x' -> (xi - xp)/h, x -> xi, u -> ui; midpoint:
+        x' -> (xn - xi)/h, x -> (xi + xn)/2, u -> (ui + un)/2), as the
+        reference builds them (direct_collocation.py:2120-2156)."""
+        import sympy.physics.mechanics as me
+        d = self._discrete_symbols()
+        x = self.state_symbols
+        xd = self.state_derivative_symbols
+        u = self.input_trajectories
+        ui = d['ki'] + d['ui']
+        un = d['kn'] + d['un']
+        h = self.time_interval_symbol
+        if self.integration_method == 'backward euler':
+            deriv_sub = {dd: (i - p) / h
+                         for dd, i, p in zip(xd, d['xi'], d['xp'])}
+            func_sub = dict(zip(tuple(x) + tuple(u), d['xi'] + ui))
+            return me.msubs(self.eom, deriv_sub, func_sub)
+        deriv_sub = {dd: (n - i) / h
+                     for dd, i, n in zip(xd, d['xi'], d['xn'])}
+        x_sub = {s: (i + n) / 2 for s, i, n in zip(x, d['xi'], d['xn'])}
+        u_sub = {s: (i + n) / 2 for s, i, n in zip(u, ui, un)}
+        return me.msubs(self.eom, deriv_sub, x_sub, u_sub)
+
     # convenience sizes for the solver
     @property
     def _nz(self):

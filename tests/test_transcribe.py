@@ -359,3 +359,51 @@ class TestHessianAliasDetection:
             warnings.simplefilter('always')
             prob.solve(np.full(prob.num_free, 0.3))
         assert any('block-tridiagonal' in str(w.message) for w in rec)
+
+
+class TestDiscreteSymbolIntrospection:
+    """Reference API parity: the symbolic discretization the numeric
+    kernel implements is exposed through the same read-only properties
+    the reference builds eagerly (opty/direct_collocation.py:2037-2156,
+    oracle style of opty/tests/test_direct_collocation.py:758-789)."""
+
+    def _collocator(self, method):
+        import sympy as sm
+        from opty_tpu.transcribe import ConstraintCollocator
+        t, m, c, k = sm.symbols('t, m, c, k')
+        x, v, f = [sm.Function(s)(t) for s in ('x', 'v', 'f')]
+        eom = sm.Matrix([x.diff(t) - v,
+                         m * v.diff(t) + c * v + k * x - f])
+        return ConstraintCollocator(
+            eom, (x, v), 4, 0.5,
+            known_parameter_map={m: 1.0, c: 2.0, k: 3.0},
+            time_symbol=t, integration_method=method), (x, v, f)
+
+    def test_backward_euler_discrete_eom(self):
+        import sympy as sm
+        col, _ = self._collocator('backward euler')
+        xi, vi = col.current_discrete_state_symbols
+        xp, vp = col.previous_discrete_state_symbols
+        (fi,) = col.current_discrete_specified_symbols
+        m, c, k = sm.symbols('m, c, k')
+        h = col.time_interval_symbol
+        expected = sm.Matrix([(xi - xp) / h - vi,
+                              m * (vi - vp) / h + c * vi + k * xi - fi])
+        diff = sm.simplify(col.discrete_eom - expected)
+        assert diff == sm.zeros(2, 1)
+
+    def test_midpoint_discrete_eom(self):
+        import sympy as sm
+        col, _ = self._collocator('midpoint')
+        xi, vi = col.current_discrete_state_symbols
+        xn, vn = col.next_discrete_state_symbols
+        (fi,) = col.current_discrete_specified_symbols
+        (fn,) = col.next_discrete_specified_symbols
+        m, c, k = sm.symbols('m, c, k')
+        h = col.time_interval_symbol
+        expected = sm.Matrix([
+            (xn - xi) / h - (vi + vn) / 2,
+            m * (vn - vi) / h + c * (vi + vn) / 2
+            + k * (xi + xn) / 2 - (fi + fn) / 2])
+        diff = sm.simplify(col.discrete_eom - expected)
+        assert diff == sm.zeros(2, 1)
