@@ -30,8 +30,7 @@ from ..config import default_factor_dtype, default_kkt_method
 from ..transcribe.hessian import make_structured_scalar_hessian
 from .ipm import IPMFunctions
 from .kkt import (KKTBlocks, factor_kkt, factor_kkt_cr, kkt_matvec,
-                  solve_factored, solve_factored_cr,
-                  solve_structured_kkt)
+                  solve_factored)
 
 __all__ = ['make_collocation_nlp_functions', 'compute_scaling']
 
@@ -239,13 +238,51 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
             fac = factor_kkt(blocks, factor_dtype=factor_dtype)
         return blocks, fac
 
+    def _apply_refined_cr(cf, r_nodes, r_border, n_refine,
+                          with_resid):
+        from .kkt import matvec_assembled_nl, solve_factored_cr_nl
+        r_nl = jnp.swapaxes(r_nodes, -1, -2)
+        u, beta = solve_factored_cr_nl(cf, r_nl, r_border)
+        u = u.astype(dtype)
+        beta = beta.astype(dtype)
+        resid = None
+        for i in range(n_refine):
+            Ku, Kb = matvec_assembled_nl(cf, u, beta)
+            if with_resid and n_refine >= 2 and i == n_refine - 1:
+                # see the scan-path comment: residual measured at (and
+                # shared with) the LAST refinement round; only with
+                # >= 2 rounds (after one round it is the raw factor
+                # residual, which trips the gate at indefinite optima)
+                num = jnp.sqrt(jnp.sum((Ku - r_nl) ** 2)
+                               + jnp.sum((Kb - r_border) ** 2))
+                den = jnp.sqrt(jnp.sum(r_nl ** 2)
+                               + jnp.sum(r_border ** 2))
+                resid = num / jnp.maximum(den, 1e-300)
+            du, dbeta = solve_factored_cr_nl(cf, r_nl - Ku,
+                                             r_border - Kb)
+            u = u + du.astype(dtype)
+            beta = beta + dbeta.astype(dtype)
+        out = _join_sol(jnp.swapaxes(u, -1, -2), beta)
+        if not with_resid:
+            return out
+        if resid is None:
+            Ku, Kb = matvec_assembled_nl(cf, u, beta)
+            num = jnp.sqrt(jnp.sum((Ku - r_nl) ** 2)
+                           + jnp.sum((Kb - r_border) ** 2))
+            den = jnp.sqrt(jnp.sum(r_nl ** 2) + jnp.sum(r_border ** 2))
+            resid = num / jnp.maximum(den, 1e-300)
+        return out[0], out[1], resid
+
     def _apply_with_refinement(blocks_fac, rx, rc, n_refine,
                                with_resid=False):
         blocks, fac = blocks_fac
-        solver = solve_factored_cr if kkt_method == 'cr' \
-            else solve_factored
         r_nodes, r_border = _split_rhs(rx, rc)
-        u, beta = solver(fac, r_nodes, r_border)
+        if kkt_method == 'cr':
+            # lane-major end to end (solve + refinement matvecs);
+            # transposed back only at _join_sol
+            return _apply_refined_cr(fac, r_nodes, r_border, n_refine,
+                                     with_resid)
+        u, beta = solve_factored(fac, r_nodes, r_border)
         u = u.astype(dtype)
         beta = beta.astype(dtype)
         resid = None
@@ -269,7 +306,8 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
                 den = jnp.sqrt(jnp.sum(r_nodes ** 2)
                                + jnp.sum(r_border ** 2))
                 resid = num / jnp.maximum(den, 1e-300)
-            du, dbeta = solver(fac, r_nodes - Ku, r_border - Kb)
+            du, dbeta = solve_factored(fac, r_nodes - Ku,
+                                       r_border - Kb)
             u = u + du.astype(dtype)
             beta = beta + dbeta.astype(dtype)
         if not with_resid:

@@ -32,7 +32,7 @@ recover Ipopt-level tolerances.  Factorizations are computed once and
 reused by every refinement solve.
 """
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -353,37 +353,79 @@ def kkt_matvec(blocks: KKTBlocks, u, beta):
     return node, border
 
 
+class CRFactorization(NamedTuple):
+    """PCR factorization + equilibration scales + the FULL-PRECISION
+    assembled lane-major operator (D, E, F, Kbb), kept so iterative
+    refinement applies the exact KKT operator without ever touching
+    the padded (N, d, d) layout (the N-major matvec einsums were a
+    per-refinement-round padding tax)."""
+    fac: Any
+    sn: jnp.ndarray
+    sb: jnp.ndarray
+    D: jnp.ndarray       # (d, d, N) full precision
+    E: jnp.ndarray       # (d, d, N), E[..., 0] = 0
+    F: jnp.ndarray       # (d, b, N)
+    Kbb: jnp.ndarray     # (b, b)
+
+
 def factor_kkt_cr(blocks: KKTBlocks, factor_dtype=None):
     """Parallel-cyclic-reduction factorization (log-depth;
     TPU-friendly: every level is a fixed-shape lane-major block op, so
     the compiled program stays small and pays no layout padding).
 
-    Same equilibration and mixed-precision contract as ``factor_kkt``;
-    see ops/tridiag.py for the algorithm and ops/lanes.py for the
-    layout.  The cast to ``factor_dtype`` happens BEFORE assembly and
-    equilibration: on TPU the working dtype is emulated float64
-    (float-float pairs), and running the O(N d^2) assembly + scaling
-    passes emulated doubles their cost for accuracy the downstream
-    float32 factorization would round away.  Iterative refinement
-    against the full-precision operator recovers f64 accuracy.
+    Assembly happens ONCE in full precision (placement only — exact);
+    the factorization input is the cast copy, and the full-precision
+    lane-major operator rides in the returned factorization for the
+    refinement matvecs.  See ops/tridiag.py for the algorithm and
+    ops/lanes.py for the layout.
     """
     from ..ops.tridiag import pcr_factor
-    blocks = _cast_blocks(blocks, factor_dtype)
     D, E, F, Kbb = _assemble_node_blocks_nl(blocks)
-    D, E, F, Kbb, sn, sb = _equilibrate_nl(D, E, F, Kbb)
-    fac = pcr_factor(D, E, F, Kbb)
-    return (fac, sn, sb)
+    if factor_dtype is not None and \
+            jnp.dtype(factor_dtype) != D.dtype:
+        Dc, Ec, Fc, Kbbc = (D.astype(factor_dtype),
+                            E.astype(factor_dtype),
+                            F.astype(factor_dtype),
+                            Kbb.astype(factor_dtype))
+    else:
+        Dc, Ec, Fc, Kbbc = D, E, F, Kbb
+    Dc, Ec, Fc, Kbbc, sn, sb = _equilibrate_nl(Dc, Ec, Fc, Kbbc)
+    fac = pcr_factor(Dc, Ec, Fc, Kbbc)
+    return CRFactorization(fac, sn, sb, D, E, F, Kbb)
 
 
-def solve_factored_cr(fac3, r_nodes, r_border):
+def matvec_assembled_nl(cf: CRFactorization, u, beta):
+    """Apply the full-precision KKT operator in lane-major layout:
+    u (d, N), beta (b,) -> (K @ [u; beta]) split the same way."""
+    from ..ops.lanes import matvec_nl, transpose_nl
+    from ..ops.tridiag import _down, _up
+    node = (matvec_nl(cf.D, u)
+            + matvec_nl(cf.E, _down(u, 1))
+            + matvec_nl(transpose_nl(_up(cf.E, 1)), _up(u, 1)))
+    b = cf.F.shape[-2]
+    if b:
+        node = node + jnp.sum(cf.F * beta[..., None, :, None], axis=-2)
+        border = (jnp.einsum('...dbn,...dn->...b', cf.F, u)
+                  + jnp.einsum('...be,...e->...b', cf.Kbb, beta))
+    else:
+        border = jnp.zeros(u.shape[:-2] + (0,), u.dtype)
+    return node, border
+
+
+def solve_factored_cr(cf: CRFactorization, r_nodes, r_border):
     """Solve with a PCR factorization.  Interface matches
     ``solve_factored``: r_nodes (N, d) — transposed to the lane-major
     (d, N) layout internally."""
+    u, beta = solve_factored_cr_nl(
+        cf, jnp.swapaxes(r_nodes, -1, -2), r_border)
+    return jnp.swapaxes(u, -1, -2), beta
+
+
+def solve_factored_cr_nl(cf: CRFactorization, r_nl, r_border):
+    """Lane-major solve: r_nl (d, N) -> u (d, N)."""
     from ..ops.tridiag import pcr_solve
-    fac, sn, sb = fac3
-    r_nl = jnp.swapaxes(r_nodes, -1, -2)
-    u, beta = pcr_solve(fac, r_nl * sn, r_border * sb)
-    return jnp.swapaxes(u * sn, -1, -2), beta * sb
+    u, beta = pcr_solve(cf.fac, r_nl * cf.sn, r_border * cf.sb)
+    return u * cf.sn, beta * cf.sb
 
 
 def solve_structured_kkt(blocks: KKTBlocks, r_nodes, r_border,
@@ -399,18 +441,28 @@ def solve_structured_kkt(blocks: KKTBlocks, r_nodes, r_border,
     """
     work_dtype = blocks.Hd.dtype
     if method == 'cr':
-        fac = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
-        solver = solve_factored_cr
-    else:
-        fac = factor_kkt(blocks, factor_dtype=factor_dtype)
-        solver = solve_factored
+        # fully lane-major: solve AND refinement matvecs (the
+        # full-precision operator rides in the factorization)
+        cf = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
+        r_nl = jnp.swapaxes(r_nodes, -1, -2)
+        u, beta = solve_factored_cr_nl(cf, r_nl, r_border)
+        u = u.astype(work_dtype)
+        beta = beta.astype(work_dtype)
+        for _ in range(refine_steps):
+            Ku, Kb = matvec_assembled_nl(cf, u, beta)
+            du, dbeta = solve_factored_cr_nl(cf, r_nl - Ku,
+                                             r_border - Kb)
+            u = u + du.astype(work_dtype)
+            beta = beta + dbeta.astype(work_dtype)
+        return jnp.swapaxes(u, -1, -2), beta
 
-    u, beta = solver(fac, r_nodes, r_border)
+    fac = factor_kkt(blocks, factor_dtype=factor_dtype)
+    u, beta = solve_factored(fac, r_nodes, r_border)
     u = u.astype(work_dtype)
     beta = beta.astype(work_dtype)
     for _ in range(refine_steps):
         Ku, Kb = kkt_matvec(blocks, u, beta)
-        du, dbeta = solver(fac, r_nodes - Ku, r_border - Kb)
+        du, dbeta = solve_factored(fac, r_nodes - Ku, r_border - Kb)
         u = u + du.astype(work_dtype)
         beta = beta + dbeta.astype(work_dtype)
     return u, beta
