@@ -149,3 +149,45 @@ def test_vmap_batch():
     assert np.all(np.asarray(res.status) == 0)
     np.testing.assert_allclose(np.asarray(res.x), np.zeros((4, 2)),
                                atol=1e-7)
+
+
+def test_elastic_restoration_recovers_far_start():
+    """A start far outside the feasible region for a nonconvex
+    equality (x^2 + y^2 = 4 with x + y >= 2.5): the line search fails
+    early and the solver must recover through the elastic restoration
+    phase, then converge to the constrained optimum."""
+    def obj(x):
+        return (x[0] - 3.0) ** 2 + (x[1] - 3.0) ** 2
+
+    def con(x):
+        return jnp.array([x[0] ** 2 + x[1] ** 2, x[0] + x[1]])
+
+    fns = make_nlp_functions_dense(obj, con)
+    res = solve_ipm(fns, jnp.array([50.0, -40.0]),
+                    jnp.full(2, -INF), jnp.full(2, INF),
+                    jnp.array([4.0, 2.5]), jnp.array([4.0, INF]))
+    assert int(res.status) in (0, 1), int(res.status)
+    # symmetric optimum on the circle
+    np.testing.assert_allclose(np.asarray(res.x),
+                               [np.sqrt(2.0), np.sqrt(2.0)], atol=1e-5)
+
+
+def test_infeasible_problem_detected():
+    """Genuinely inconsistent constraints (x = 0 and x = 1): the
+    restoration phase must certify local infeasibility (stationary
+    feasibility problem at theta > 0) instead of spinning forever."""
+    def obj(x):
+        return x[0] ** 2
+
+    def con(x):
+        return jnp.array([x[0], x[0] - 1.0])
+
+    fns = make_nlp_functions_dense(obj, con)
+    res = solve_ipm(fns, jnp.array([5.0]), jnp.full(1, -INF),
+                    jnp.full(1, INF), jnp.zeros(2), jnp.zeros(2),
+                    options=IPMOptions(max_iter=300))
+    # INFEASIBLE_PROBLEM_DETECTED (2) is the certified outcome;
+    # RESTORATION_FAILED (-2) acceptable (budget exhausted at the
+    # infeasible stationary point); never "solved"
+    assert int(res.status) not in (0, 1)
+    assert float(res.inf_pr) > 0.3   # the true residual floor is 0.5
