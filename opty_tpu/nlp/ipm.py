@@ -290,7 +290,6 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
     floor_d = jnp.minimum(jnp.asarray(opt.mu_init, dtype), 0.25 * width)
     s_init = jnp.where(msL, jnp.maximum(s_init, cl + floor_d), s_init)
     s_init = jnp.where(msU, jnp.minimum(s_init, cu - floor_d), s_init)
-    y_init = jnp.zeros((m,), dtype) if y0 is None else jnp.asarray(y0, dtype)
     one = jnp.ones((), dtype)
     zL_init = (jnp.where(mL, one, 0.0) if zL0 is None
                else jnp.where(mL, jnp.asarray(zL0, dtype), 0.0))
@@ -298,6 +297,37 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                else jnp.where(mU, jnp.asarray(zU0, dtype), 0.0))
     wL_init = jnp.where(msL, one, 0.0)
     wU_init = jnp.where(msU, one, 0.0)
+    if y0 is not None:
+        y_init = jnp.asarray(y0, dtype)
+    else:
+        # Waechter-Biegler eq (36): least-squares initialization of
+        # the equality multipliers from the dual-feasibility rows,
+        # y_LS = argmin ||g - zL + zU + J^T y||, computed with the
+        # same structured factorization ([[I, J^T], [J, -eps]]) and
+        # discarded if implausibly large (||y||_inf > 1e3 -> 0, the
+        # W-B safeguard).  Cold starts otherwise burn ~10-15
+        # iterations recovering multiplier scale from y = 0.
+        g0_ls = fns.gradient(x_init)
+        prep0 = fns.kkt_prepare(x_init, jnp.zeros((m,), dtype))
+        sigma0 = jnp.ones((n,), dtype) + jnp.where(fixed, _BIG_SIGMA, 0.0)
+        ds0 = jnp.full((m,), 1e-8, dtype)
+        rx0 = jnp.where(fixed, 0.0, -(g0_ls - zL_init + zU_init))
+        rc0 = jnp.zeros((m,), dtype)
+        # gn_mask=True drops the Lagrangian Hessian -> pure identity
+        # (1,1) block, exactly the W-B least-squares system
+        fac0_ls = fns.kkt_factor(prep0, sigma0, ds0, True)
+        _, y_ls, _ = fns.kkt_apply(fac0_ls, rx0, rc0)
+        # LS multipliers approximate the true ones only near
+        # stationarity: accept them for near-feasible starts (warm
+        # starts without supplied multipliers — e.g. re-solves from a
+        # previous solution — burned ~10-15 recovery iterations from
+        # y = 0), keep y = 0 for far starts where they are noise
+        # (measured: cold random multi-starts got slightly WORSE with
+        # ungated LS duals).
+        y_ok = ((jnp.max(jnp.abs(y_ls)) <= 1e3)
+                & jnp.all(jnp.isfinite(y_ls))
+                & (jnp.max(jnp.abs(c0 - s_init)) <= 1e-3))
+        y_init = jnp.where(y_ok, y_ls, 0.0)
 
     theta_init = jnp.sum(jnp.abs(c0 - s_init))
     theta_max_init = 1e4 * jnp.maximum(1.0, theta_init)
