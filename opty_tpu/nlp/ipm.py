@@ -583,10 +583,10 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                     jnp.minimum(_ftb_alpha(dLs, dss, msL, tau_R),
                                 _ftb_alpha(dUs, -dss, msU, tau_R)))
 
-            def backtrack(dxx, dss, a0):
+            def backtrack(dxx, dss, a0, gate):
                 def bt_cond(carry):
                     a, j, ok, Mt, th = carry
-                    return (~ok) & (j < 15) & live
+                    return (~ok) & (j < 15) & gate
 
                 def bt_body(carry):
                     a, j, _, _, _ = carry
@@ -601,7 +601,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                      jnp.asarray(jnp.inf, dtype),
                      jnp.asarray(jnp.inf, dtype)))
 
-            a_el, _, red_el, _, th_el = backtrack(dxr, dsr, ftb(dxr, dsr))
+            a_el, _, red_el, _, th_el = backtrack(dxr, dsr,
+                                                  ftb(dxr, dsr), live)
             use_el = fin & red_el
 
             # steepest-descent fallback on the same merit (its exact
@@ -613,8 +614,12 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                                  jnp.max(jnp.abs(ds_c))))
             dx_c = dx_c * scale_c
             ds_c = ds_c * scale_c
+            # under vmap the trip count is max-over-lanes: only lanes
+            # whose elastic Newton step failed to reduce the merit pay
+            # for the steepest-descent fallback search
             a_c, _, red_c, _, th_c = backtrack(dx_c, ds_c,
-                                               ftb(dx_c, ds_c))
+                                               ftb(dx_c, ds_c),
+                                               live & ~use_el)
 
             a_use = jnp.where(use_el, a_el, a_c)
             dx_use = jnp.where(use_el, dxr, dx_c)
@@ -821,7 +826,17 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                             _ftb_alpha(dUs, -ds, msU, tau)))
 
             # -- filter line search --------------------------------------
-            phi0, theta0 = barrier_phi(x, s, mu)
+            # phi/theta at the current point from the CARRIED residual
+            # c (exact at x): saves one constraints eval per iteration
+            # over calling barrier_phi(x, s, mu)
+            slog = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
+            bar0 = slog(dLx) + slog(dUx) + slog(dLs) + slog(dUs)
+            okb0 = (jnp.all(jnp.where(mL, dLx, 1.0) > 0)
+                    & jnp.all(jnp.where(mU, dUx, 1.0) > 0)
+                    & jnp.all(jnp.where(msL, dLs, 1.0) > 0)
+                    & jnp.all(jnp.where(msU, dUs, 1.0) > 0))
+            phi0 = jnp.where(okb0, fns.objective(x) - mu * bar0, jnp.inf)
+            theta0 = theta_now
             gphi_x = g - mu * iLx + mu * iUx
             gphi_s = -mu * iLs + mu * iUs
             Dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
@@ -852,9 +867,26 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 ok_each = (theta_t < f_theta) | (phi_t < f_phi)
                 return jnp.all(ok_each | ~valid)
 
-            def try_dir(alpha, dxx, dss):
-                phi_t, theta_t = barrier_phi(x + alpha * dxx,
-                                             s + alpha * dss, mu)
+            def trial_point(alpha, dxx, dss):
+                """phi, theta and the raw constraint residual at a
+                trial point — ONE constraints evaluation shared by the
+                filter tests, the theta comparison and the SOC
+                residual (previously three separate evals)."""
+                xt = x + alpha * dxx
+                st_ = s + alpha * dss
+                dL1 = jnp.where(mL, xt - xl, 1.0)
+                dU1 = jnp.where(mU, xu - xt, 1.0)
+                dL2 = jnp.where(msL, st_ - cl, 1.0)
+                dU2 = jnp.where(msU, cu - st_, 1.0)
+                okt = (jnp.all(dL1 > 0) & jnp.all(dU1 > 0)
+                       & jnp.all(dL2 > 0) & jnp.all(dU2 > 0))
+                bar = slog(dL1) + slog(dU1) + slog(dL2) + slog(dU2)
+                rt = fns.constraints(xt) - st_
+                phi_t = jnp.where(okt, fns.objective(xt) - mu * bar,
+                                  jnp.inf)
+                return phi_t, jnp.sum(jnp.abs(rt)), rt
+
+            def accept_tests(alpha, dxx, dss, phi_t, theta_t):
                 f_ok = filter_ok_fn(theta_t, phi_t)
                 Dphi_d = jnp.dot(gphi_x, dxx) + jnp.dot(gphi_s, dss)
                 sw = (Dphi_d < 0) & (alpha * (-Dphi_d) ** opt.s_phi
@@ -868,16 +900,20 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 return f_ok & jnp.where(ftype, armijo, curr_ok), \
                     ftype & armijo
 
-            acc1, ftype1 = try_dir(a_pr_max, dx, ds)
+            def try_dir(alpha, dxx, dss):
+                phi_t, theta_t, _ = trial_point(alpha, dxx, dss)
+                return accept_tests(alpha, dxx, dss, phi_t, theta_t)
+
+            phi_t1, theta_t1, r_trial1 = trial_point(a_pr_max, dx, ds)
+            acc1, ftype1 = accept_tests(a_pr_max, dx, ds, phi_t1,
+                                        theta_t1)
             acc1 = (acc1 | step_small) & ~dir_bad
-            _, theta_t1 = barrier_phi(x + a_pr_max * dx,
-                                      s + a_pr_max * ds, mu)
 
             # -- second-order correction (Ipopt A-5.7) -------------------
             def soc_branch(_):
-                r_trial = (fns.constraints(x + a_pr_max * dx)
-                           - (s + a_pr_max * ds))
-                c_soc = a_pr_max * (c - s) + r_trial
+                # r_trial1 was already evaluated for the filter test
+                # of the full step — no extra constraints eval here
+                c_soc = a_pr_max * (c - s) + r_trial1
                 rc_soc = -c_soc + Ds * rhs_s
                 # reuse the accepted direction's factorization: the SOC
                 # matrix is identical, only the rhs changed
