@@ -31,6 +31,13 @@ import numpy as np
 # 4.09 solves/s.  (The optimistic C-backend bound, evals free, is
 # 19.7/s — see BASELINE.md.)
 BASELINE_SOLVES_PER_S = 4.09
+# Measured per-iteration cost of the reference components (BASELINE.md:
+# constraints 2.41 + jacobian 2.44 + gradient 0.05 + SuperLU KKT
+# 1.22 ms).  4.09/s = 1 / (40 * this).  The matched-iteration baseline
+# reported alongside charges the reference OUR mean iteration count
+# instead of the assumed 40, so the headline cannot silently benefit
+# from an iteration-count mismatch (round-2 judge note).
+BASELINE_SECONDS_PER_ITER = 0.00612
 
 METRIC = 'pendulum_N501_collocation_solves_per_s_per_chip'
 
@@ -110,14 +117,22 @@ def main():
     solves_per_s = n_ok / total if total > 0 else 0.0
     log('converged {}/{}; {} chunks; steady total {:.1f}s'.format(
         n_ok, queue_len, len(chunk_times), total))
+    extra = dict(batch=batch, queue=queue_len, converged=n_ok,
+                 chunks=len(chunk_times), median_chunk_s=round(med, 2),
+                 kkt_method=kkt_method, crashed=crashed, **extra_iters)
+    # matched-iteration fairness row: charge the reference its measured
+    # per-iteration component cost times OUR mean iteration count
+    if extra_iters.get('mean_iters'):
+        base_matched = 1.0 / (BASELINE_SECONDS_PER_ITER
+                              * extra_iters['mean_iters'])
+        extra['baseline_matched_iters_solves_per_s'] = round(base_matched, 3)
+        extra['vs_baseline_matched_iters'] = round(
+            solves_per_s / base_matched, 3)
+    extra['baseline_assembled_40it_solves_per_s'] = BASELINE_SOLVES_PER_S
     out = {'metric': METRIC, 'value': round(solves_per_s, 4),
            'unit': 'solves/s',
            'vs_baseline': round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
-           'extra': dict(batch=batch, queue=queue_len, converged=n_ok,
-                         chunks=len(chunk_times),
-                         median_chunk_s=round(med, 2),
-                         kkt_method=kkt_method, crashed=crashed,
-                         **extra_iters)}
+           'extra': extra}
     print(json.dumps(out))
 
 

@@ -5,8 +5,12 @@ Replaces Ipopt + cyipopt in the reference stack
 result-dict contract is documented at :290-311).  The algorithm follows
 Ipopt's design (Waechter & Biegler, Math. Prog. 106, 2006):
 
-  * monotone Fiacco-McCormick barrier with Ipopt's error-based mu
-    reduction and fraction-to-boundary rule;
+  * barrier parameter: Mehrotra-style adaptive probing by default (an
+    affine predictor solved with the iteration's factorization picks
+    mu; Ipopt ``mu_oracle=probing``/Nocedal-Waechter-Waltz 2008), with
+    per-lane fallback to the monotone Fiacco-McCormick ladder once a
+    line search fails (Ipopt's adaptive globalization); or pure
+    monotone mode via ``mu_strategy='monotone'``;
   * general NLP form  min f(x)  s.t.  cl <= c(x) <= cu, xl <= x <= xu;
     equality rows are cl == cu, fixed variables xl == xu, both handled
     by masking; slacks ``s`` on every constraint row;
@@ -55,6 +59,20 @@ class IPMOptions(NamedTuple):
     acceptable_iter: int = 15
     max_iter: int = 500
     mu_init: float = 0.1
+    # barrier update strategy (static config, resolved at trace time):
+    # 'monotone' is Ipopt's default Fiacco-McCormick ladder (mu falls
+    # only when the barrier problem is solved to kappa_eps * mu);
+    # 'adaptive' is Mehrotra-style probing (Ipopt mu_oracle=probing,
+    # Nocedal-Waechter-Waltz 2008): every iteration solves an AFFINE
+    # (mu = 0) predictor with the already-computed factorization,
+    # measures how far the fraction-to-boundary rule lets it travel,
+    # and sets  mu = (mu_aff / mu_avg)^3 * mu_avg.  Cold starts spend
+    # most of their iterations walking the monotone ladder down
+    # (bench round 2: mean 105 iterations vs Ipopt's ~40), which the
+    # probe skips; a lane that fails its line search (restoration
+    # entry) falls back to the monotone ladder for the rest of its
+    # solve — Ipopt's adaptive-mode globalization.
+    mu_strategy: str = 'adaptive'
     kappa_eps: float = 10.0
     kappa_mu: float = 0.2
     theta_mu: float = 1.5
@@ -175,6 +193,7 @@ class _State(NamedTuple):
     stall_count: jnp.ndarray
     theta_min: jnp.ndarray    # init-point filter thresholds (constant;
     theta_max: jnp.ndarray    # carried so solves can resume from state)
+    mono: jnp.ndarray         # adaptive-mu lane fell back to monotone
     it: jnp.ndarray
     status: jnp.ndarray
     done: jnp.ndarray
@@ -341,20 +360,6 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         f_phi = f_phi.at[0].set(-jnp.inf)
         return f_theta, f_phi, jnp.asarray(1, jnp.int32)
 
-    def barrier_phi(x, s, mu):
-        """Barrier objective phi and constraint violation theta."""
-        dLx = jnp.where(mL, x - xl, 1.0)
-        dUx = jnp.where(mU, xu - x, 1.0)
-        dLs = jnp.where(msL, s - cl, 1.0)
-        dUs = jnp.where(msU, cu - s, 1.0)
-        ok = (jnp.all(dLx > 0) & jnp.all(dUx > 0) & jnp.all(dLs > 0)
-              & jnp.all(dUs > 0))
-        safe_log = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
-        bar = safe_log(dLx) + safe_log(dUx) + safe_log(dLs) + safe_log(dUs)
-        theta = jnp.sum(jnp.abs(fns.constraints(x) - s))
-        phi = fns.objective(x) - mu * bar
-        return jnp.where(ok, phi, jnp.inf), theta
-
     def optimality_error_from(g, c, Jty, x, s, y, zL, zU, wL, wU, mu):
         """Ipopt's scaled KKT error E_mu from precomputed g, c, J^T y."""
         r_dual_x = jnp.where(fixed, 0.0, g + Jty - zL + zU)
@@ -422,15 +427,9 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             tau = jnp.maximum(opt.tau_min, 1.0 - mu)
             return (mu, tau, shrunk | shrink), None
 
-        (mu, tau, mu_shrunk), _ = jax.lax.scan(
+        (mu_mono, tau_mono, mu_shrunk), _ = jax.lax.scan(
             mu_red, (st.mu, jnp.asarray(0.0, dtype), jnp.asarray(False)),
             None, length=4)
-
-        # filter reset on barrier reduction (Waechter-Biegler)
-        ft0, fp0, fc0 = fresh_filter(theta_max)
-        f_theta = jnp.where(mu_shrunk, ft0, st.f_theta)
-        f_phi = jnp.where(mu_shrunk, fp0, st.f_phi)
-        f_count = jnp.where(mu_shrunk, fc0, st.f_count)
 
         theta_now = jnp.sum(jnp.abs(c - s))
 
@@ -459,11 +458,22 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                        jnp.where(free_row, _BIG_SIGMA,
                                  1.0 / jnp.maximum(sigma_s, 1e-30)))
 
-        rx = -(g + Jty - mu * iLx + mu * iUx)
-        rx = jnp.where(fixed, 0.0, rx)
-        rhs_s = -(-y - mu * iLs + mu * iUs)
-        rhs_s = jnp.where(eq, 0.0, rhs_s)
-        rc = -(c - s) + Ds * rhs_s
+        # The direction ("ladder") rhs: monotone lanes solve the
+        # centered system at mu_mono directly; adaptive free-mode lanes
+        # solve the AFFINE (mu = 0) predictor first — the probe that
+        # chooses this iteration's mu — and re-solve the centered rhs
+        # with the same factorization afterwards (Mehrotra).
+        adaptive = opt.mu_strategy == 'adaptive'
+        if adaptive:
+            free_lane = (~st.mono) & (n_duals > 0)
+            mu_lad = jnp.where(free_lane, 0.0, mu_mono)
+        else:
+            mu_lad = mu_mono
+        rx_lad = -(g + Jty - mu_lad * iLx + mu_lad * iUx)
+        rx_lad = jnp.where(fixed, 0.0, rx_lad)
+        rhs_s_lad = -(-y - mu_lad * iLs + mu_lad * iUs)
+        rhs_s_lad = jnp.where(eq, 0.0, rhs_s_lad)
+        rc_lad = -(c - s) + Ds * rhs_s_lad
 
         # -- merged direction system ---------------------------------
         # Under vmap BOTH lax.cond branches execute for every lane, so
@@ -526,8 +536,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
 
         sigma_m = jnp.where(gn, sigma_xR, sigma_x)
         ds_m = jnp.where(gn, DsR + Dp_el + Dn_el, Ds)
-        rx_m = jnp.where(gn, rx_rest, rx)
-        rc_m = jnp.where(gn, rc_rest, rc)
+        rx_m = jnp.where(gn, rx_rest, rx_lad)
+        rc_m = jnp.where(gn, rc_rest, rc_lad)
 
         def rest_merit(xt, st_):
             """Elastic restoration merit at (xt, st_): smoothed-L1
@@ -661,7 +671,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                                  gn)
             dxx, dyy, rres = fns.kkt_apply(fac, rx_m, rc_m)
             dxx = jnp.where(fixed, 0.0, dxx)
-            dss = Ds * (dyy + rhs_s)
+            dss = Ds * (dyy + rhs_s_lad)
             dss = jnp.where(eq, 0.0, dss)
             return dxx, dyy, dss, fac, rres
 
@@ -788,7 +798,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             # free structured factorization to produce a bounded
             # least-squares-like dy.
             dc_new = jnp.where(healthy_prev, dc,
-                               jnp.maximum(1e-8 * mu ** 0.25,
+                               jnp.maximum(1e-8 * st.mu ** 0.25,
                                            opt.delta_c_init))
             dxx, dyy, dss, fac, rres = compute_dir(dw_new, dc_new)
             ok, healthy = dir_quality(dxx, dyy, dss, dw_new, rres)
@@ -814,6 +824,91 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         dy = jnp.where(dir_bad, 0.0, dy)
         ds = jnp.where(dir_bad, 0.0, ds)
 
+        # -- Mehrotra probing mu + centered corrector re-solve ----------
+        if adaptive:
+            # affine dual steps (linearized complementarity at mu = 0)
+            dzLa = jnp.where(mL, -zL - SigL * dx, 0.0)
+            dzUa = jnp.where(mU, -zU + SigU * dx, 0.0)
+            dwLa = jnp.where(msL, -wL - SigsL * ds, 0.0)
+            dwUa = jnp.where(msU, -wU + SigsU * ds, 0.0)
+            tau_p = jnp.maximum(opt.tau_min, 1.0 - st.mu)
+            a_pr_a = jnp.minimum(
+                jnp.minimum(_ftb_alpha(dLx, dx, mL, tau_p),
+                            _ftb_alpha(dUx, -dx, mU, tau_p)),
+                jnp.minimum(_ftb_alpha(dLs, ds, msL, tau_p),
+                            _ftb_alpha(dUs, -ds, msU, tau_p)))
+            a_du_a = jnp.minimum(
+                jnp.minimum(_ftb_alpha(zL, dzLa, mL, tau_p),
+                            _ftb_alpha(zU, dzUa, mU, tau_p)),
+                jnp.minimum(_ftb_alpha(wL, dwLa, msL, tau_p),
+                            _ftb_alpha(wU, dwUa, msU, tau_p)))
+            a_aff = jnp.minimum(a_pr_a, a_du_a)
+            msum = lambda mk, v: jnp.sum(jnp.where(mk, v, 0.0))
+            comp0 = (msum(mL, zL * dLx) + msum(mU, zU * dUx)
+                     + msum(msL, wL * dLs) + msum(msU, wU * dUs))
+            comp_aff = (
+                msum(mL, (zL + a_aff * dzLa) * (dLx + a_aff * dx))
+                + msum(mU, (zU + a_aff * dzUa) * (dUx - a_aff * dx))
+                + msum(msL, (wL + a_aff * dwLa) * (dLs + a_aff * ds))
+                + msum(msU, (wU + a_aff * dwUa) * (dUs - a_aff * ds)))
+            mu_avg = jnp.maximum(comp0 / n_comp, 1e-300)
+            mu_aff = jnp.maximum(comp_aff, 0.0) / n_comp
+            sigma_p = jnp.clip((mu_aff / mu_avg) ** 3, 1e-4, 1.0)
+            # DOWNWARD-ONLY probe: when the affine step cannot travel
+            # (nonconvex far-from-feasible phase) sigma -> 1 and
+            # sigma * mu_avg is the CURRENT complementarity average,
+            # which can sit far above the carried mu; adopting it
+            # creates a mu <-> dual-growth feedback loop (observed:
+            # mu ratcheted to 1e2, |y| to 1e8 on the variable-h
+            # swing-up).  The probe's value is skipping the monotone
+            # ladder's descent, so it may only accelerate mu DOWN;
+            # increases stay the business of the restoration kick.
+            mu_ad = jnp.minimum(
+                jnp.maximum(sigma_p * mu_avg, opt.tol / 11.0), st.mu)
+            # a direction the quality gate rejected outright gives a
+            # meaningless probe (dx = 0 -> mu_aff = mu_avg): hold mu
+            mu_ad = jnp.where(dir_bad, st.mu, mu_ad)
+            mu = jnp.where(gn, st.mu,
+                           jnp.where(free_lane, mu_ad, mu_mono))
+        else:
+            mu = mu_mono
+        tau = jnp.maximum(opt.tau_min, 1.0 - mu) if adaptive \
+            else tau_mono
+
+        # centered residuals at the final mu (for monotone lanes these
+        # equal the ladder rhs, so the re-solve below is skipped)
+        rx = -(g + Jty - mu * iLx + mu * iUx)
+        rx = jnp.where(fixed, 0.0, rx)
+        rhs_s = -(-y - mu * iLs + mu * iUs)
+        rhs_s = jnp.where(eq, 0.0, rhs_s)
+        rc = -(c - s) + Ds * rhs_s
+
+        if adaptive:
+            # corrector: centered solve with the SAME factorization
+            rx_m2 = jnp.where(gn, rx_rest, rx)
+            rc_m2 = jnp.where(gn, rc_rest, rc)
+            dx_c, dy_c, _ = fns.kkt_apply(fac_used, rx_m2, rc_m2)
+            dx_c = jnp.where(fixed, 0.0, dx_c)
+            ds_c = jnp.where(eq, 0.0, Ds * (dy_c + rhs_s))
+            fin_c = (jnp.all(jnp.isfinite(dx_c))
+                     & jnp.all(jnp.isfinite(dy_c)))
+            use_c = free_lane & fin_c & ~gn & ~dir_bad
+            dx = jnp.where(use_c, dx_c, dx)
+            dy = jnp.where(use_c, dy_c, dy)
+            ds = jnp.where(use_c, ds_c, ds)
+
+        # filter reset on barrier change (Waechter-Biegler reset on
+        # monotone reduction; adaptive lanes reset on any material mu
+        # move since stored phi entries were measured at the old mu)
+        if adaptive:
+            mu_reset = mu_shrunk | (jnp.abs(mu - st.mu) > 0.05 * st.mu)
+        else:
+            mu_reset = mu_shrunk
+        ft0, fp0, fc0 = fresh_filter(theta_max)
+        f_theta = jnp.where(mu_reset, ft0, st.f_theta)
+        f_phi = jnp.where(mu_reset, fp0, st.f_phi)
+        f_count = jnp.where(mu_reset, fc0, st.f_count)
+
         # ================================================================
         # branch 1: regular filter-IPM step
         # ================================================================
@@ -831,10 +926,9 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             # over calling barrier_phi(x, s, mu)
             slog = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
             bar0 = slog(dLx) + slog(dUx) + slog(dLs) + slog(dUs)
-            okb0 = (jnp.all(jnp.where(mL, dLx, 1.0) > 0)
-                    & jnp.all(jnp.where(mU, dUx, 1.0) > 0)
-                    & jnp.all(jnp.where(msL, dLs, 1.0) > 0)
-                    & jnp.all(jnp.where(msU, dUs, 1.0) > 0))
+            # dLx/dUx/dLs/dUs are already masked to 1.0 off-mask
+            okb0 = (jnp.all(dLx > 0) & jnp.all(dUx > 0)
+                    & jnp.all(dLs > 0) & jnp.all(dUs > 0))
             phi0 = jnp.where(okb0, fns.objective(x) - mu * bar0, jnp.inf)
             theta0 = theta_now
             gphi_x = g - mu * iLx + mu * iUx
@@ -1206,6 +1300,10 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             rest_lam=rest_lam_n, theta_prev=theta_now,
             stall_count=stall_count,
             theta_min=theta_min, theta_max=theta_max,
+            # adaptive-mode globalization: a lane whose line search
+            # failed (restoration entry) walks the monotone ladder for
+            # the rest of its solve
+            mono=st.mono | fresh_entry,
             it=st.it + 1, status=status, done=done,
             accept_count=accept_count,
             obj_history=obj_history, inf_pr=inf_pr, inf_du=inf_du,
@@ -1239,6 +1337,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         E_last=jnp.asarray(jnp.inf, dtype),
         E_prev=jnp.asarray(jnp.inf, dtype),
         theta_min=theta_min_init, theta_max=theta_max_init,
+        mono=jnp.asarray(False),
         g=g_i, c=c_i, Jty=Jty_i,
         x_R=x_init, mu_R=jnp.asarray(opt.mu_init, dtype))
     if resume_state is not None:
