@@ -66,7 +66,8 @@ def compute_scaling(col, gradient, x0):
 
 def make_collocation_nlp_functions(col, objective, gradient=None,
                                    factor_dtype=None, refine_steps=None,
-                                   scale_from=None, kkt_method=None):
+                                   scale_from=None, kkt_method=None,
+                                   mesh=None, node_axis='node'):
     """IPMFunctions for a collocation problem.
 
     Parameters
@@ -78,6 +79,11 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         (may be a traced array inside jit).  When given, the returned
         functions define the *scaled* NLP; the second return value
         carries (sf, dsc_full) for unscaling results.
+    kkt_method : 'scan' | 'cr' | 'spike'.  'spike' distributes the
+        KKT factorization over the node axis of ``mesh`` (SURVEY.md
+        P3: single problems too large for one chip) via the SPIKE
+        substructuring solver (parallel/spike.py); requires ``mesh``.
+    mesh : jax.sharding.Mesh with a ``node_axis`` axis ('spike' only).
     """
     n = col.num_states
     q = col.num_unknown_input_trajectories
@@ -209,6 +215,35 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         return (join_free(u[:, :nz], beta[:bw]),
                 join_con(u[1:, nz:], beta[bw:]))
 
+    if kkt_method == 'spike':
+        if mesh is None:
+            raise ValueError("kkt_method='spike' requires a mesh with "
+                             "a '%s' axis" % node_axis)
+        from ..parallel.spike import spike_apply, spike_factor
+        from .kkt import _assemble_node_blocks, _equilibrate
+
+        def _factor_spike(blocks):
+            """Node-sharded SPIKE factorization: same equilibration +
+            mixed-precision contract as the single-chip paths, with
+            the factorization distributed over ``mesh[node_axis]``."""
+            D, E, F, Kbb = _assemble_node_blocks(blocks)
+            D, E, F, Kbb, sn, sb = _equilibrate(D, E, F, Kbb)
+            if jnp.dtype(factor_dtype) != D.dtype:
+                D, E, F, Kbb = (D.astype(factor_dtype),
+                                E.astype(factor_dtype),
+                                F.astype(factor_dtype),
+                                Kbb.astype(factor_dtype))
+            return spike_factor(D, E, F, Kbb, mesh, node_axis), sn, sb
+
+        def _spike_solve_one(facsc, rn, rb):
+            fac, sn, sb = facsc
+            fd = fac.S_inv.dtype
+            u, beta = spike_apply(fac, (rn * sn).astype(fd),
+                                  (rb * sb).astype(fd), mesh, node_axis)
+            return u * sn, beta * sb
+    else:
+        _factor_spike = _spike_solve_one = None
+
     def kkt_factor(prep, sigma_x, ds, gn_mask=None):
         """Factor the KKT matrix once for a given regularization; the
         (blocks, factorization) pair is reusable by ``kkt_apply`` for
@@ -234,6 +269,8 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         blocks = _blocks_with(Hd, Ho, Hw, Hww, prep, ds)
         if kkt_method == 'cr':
             fac = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
+        elif kkt_method == 'spike':
+            fac = _factor_spike(blocks)
         else:
             fac = factor_kkt(blocks, factor_dtype=factor_dtype)
         return blocks, fac
@@ -282,7 +319,11 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
             # transposed back only at _join_sol
             return _apply_refined_cr(fac, r_nodes, r_border, n_refine,
                                      with_resid)
-        u, beta = solve_factored(fac, r_nodes, r_border)
+        if kkt_method == 'spike':
+            solve_one = lambda rn, rb: _spike_solve_one(fac, rn, rb)
+        else:
+            solve_one = lambda rn, rb: solve_factored(fac, rn, rb)
+        u, beta = solve_one(r_nodes, r_border)
         u = u.astype(dtype)
         beta = beta.astype(dtype)
         resid = None
@@ -306,8 +347,7 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
                 den = jnp.sqrt(jnp.sum(r_nodes ** 2)
                                + jnp.sum(r_border ** 2))
                 resid = num / jnp.maximum(den, 1e-300)
-            du, dbeta = solve_factored(fac, r_nodes - Ku,
-                                       r_border - Kb)
+            du, dbeta = solve_one(r_nodes - Ku, r_border - Kb)
             u = u + du.astype(dtype)
             beta = beta + dbeta.astype(dtype)
         if not with_resid:
@@ -362,6 +402,8 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         blocks = _blocks_with(Hd, Ho, Hw, Hww, prep, ds)
         if kkt_method == 'cr':
             fac = factor_kkt_cr(blocks, factor_dtype=factor_dtype)
+        elif kkt_method == 'spike':
+            fac = _factor_spike(blocks)
         else:
             fac = factor_kkt(blocks, factor_dtype=factor_dtype)
         # restoration steps don't need Ipopt-accuracy solves: one

@@ -104,6 +104,7 @@ class Problem:
         self._ipm_options = IPMOptions()
         self._factor_dtype = None
         self._kkt_method = None
+        self._mesh = None
         self._refine_steps = None
         # iterations per device execution; None = auto (chunked on TPU
         # where the remote-execution path kills long launches)
@@ -253,6 +254,9 @@ class Problem:
             self._factor_dtype = factor_dtype
         if kkt_method is not None:
             self._kkt_method = kkt_method
+        if 'mesh' in kwargs:
+            # device mesh for kkt_method='spike' (node-sharded KKT)
+            self._mesh = kwargs.pop('mesh')
         if 'refine_steps' in kwargs:
             self._refine_steps = kwargs.pop('refine_steps')
         if 'chunk_iters' in kwargs:
@@ -327,7 +331,7 @@ class Problem:
                 col, obj_fn, grad_fn, scale_from=free,
                 factor_dtype=self._factor_dtype,
                 refine_steps=self._refine_steps,
-                kkt_method=self._kkt_method)
+                kkt_method=self._kkt_method, mesh=self._mesh)
 
         def run_warm(free, y0, zl0, zu0):
             fns, (sf, dsc) = build_fns(free)
@@ -500,14 +504,20 @@ class Problem:
         n_retired = 0
         while True:
             if np.any(done):
-                res_host = jax.device_get(res)
+                # fetch ONLY the finished lanes: gather on device, then
+                # one small host transfer (a full-batch pytree copy per
+                # chunk is a needless HBM->host tax at gait-scale sizes)
+                done_lanes = np.where(done)[0]
+                take = jnp.asarray(done_lanes)
+                res_host = jax.device_get(
+                    jax.tree.map(lambda a: a[take], res))
                 fresh = np.zeros(B, dtype=bool)
                 new_free = np.array(free_batch)  # writable copy
-                for lane in np.where(done)[0]:
+                for li, lane in enumerate(done_lanes):
                     inst = lane_inst[lane]
                     if inst >= 0 and results[inst] is None:
                         results[inst] = jax.tree.map(
-                            lambda a: np.asarray(a)[lane], res_host)
+                            lambda a: np.asarray(a)[li], res_host)
                         n_retired += 1
                     if next_inst < Q:
                         lane_inst[lane] = next_inst

@@ -138,3 +138,59 @@ def test_spike_smoke_small_mesh():
                                rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(np.asarray(beta_sp), sol[N * d:],
                                rtol=1e-8, atol=1e-8)
+
+
+def test_spike_factor_apply_matches_solve():
+    """spike_factor + spike_apply == the fused spike_solve (the
+    factor/apply split is what the IPM reuses across refinement and
+    SOC re-solves)."""
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip('needs 4 virtual devices')
+    mesh4 = Mesh(np.array(devs[:4]), ('node',))
+    from opty_tpu.nlp.kkt import _assemble_node_blocks
+    from opty_tpu.parallel.spike import spike_apply, spike_factor
+    rng = np.random.default_rng(11)
+    blocks = random_blocks(N=16, nz=2, M=1, bw=1, o=1)
+    D, E, F, Kbb = _assemble_node_blocks(blocks)
+    N, d, _ = D.shape
+    r = jnp.asarray(rng.normal(size=(N, d)))
+    rb = jnp.asarray(rng.normal(size=(F.shape[2],)))
+    fac = spike_factor(D, E, F, Kbb, mesh4)
+    u_fa, beta_fa = spike_apply(fac, r, rb, mesh4)
+    u_sp, beta_sp = spike_solve(D, E, F, Kbb, r, rb, mesh4)
+    np.testing.assert_allclose(np.asarray(u_fa), np.asarray(u_sp),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(beta_fa),
+                               np.asarray(beta_sp),
+                               rtol=1e-10, atol=1e-10)
+    # second rhs reuses the same factorization
+    r2 = jnp.asarray(rng.normal(size=(N, d)))
+    rb2 = jnp.asarray(rng.normal(size=(F.shape[2],)))
+    u2, beta2 = spike_apply(fac, r2, rb2, mesh4)
+    u2_sp, beta2_sp = spike_solve(D, E, F, Kbb, r2, rb2, mesh4)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u2_sp),
+                               rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_spike_ipm_end_to_end(mesh):
+    """SURVEY.md P3 completion: a large-N collocation NLP driven all
+    the way through solve_ipm with the node-sharded SPIKE KKT solve,
+    matching the unsharded solution."""
+    from opty_tpu.models import swing_up_problem
+
+    N = 100_000
+    prob = swing_up_problem(num_nodes=N)
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal(prob.num_free) * 0.01
+
+    prob.set_solver_options(kkt_method='scan', max_iter=300)
+    sol_ref, info_ref = prob.solve(x0)
+    assert info_ref['status'] in (0, 1)
+
+    prob.set_solver_options(kkt_method='spike', mesh=mesh)
+    sol_sp, info_sp = prob.solve(x0)
+    assert info_sp['status'] in (0, 1)
+    # same KKT point to solver tolerance
+    np.testing.assert_allclose(sol_sp, sol_ref, rtol=0, atol=1e-5)
