@@ -85,18 +85,26 @@ def _sweep_vmem(d, b, n, g):
 def _pick_group(batch, d, b, n, vmem_fn):
     forced = os.environ.get('OPTY_TPU_PCR_GROUP')
     if forced:
-        return int(forced)
+        # clamp a forced group to a positive power of two that still
+        # fits the VMEM budget — an oversized or non-power-of-two
+        # value would silently bypass the fit check and fail at
+        # Mosaic lowering with a VMEM overflow
+        f = max(1, int(forced))
+        g = 1 << (f.bit_length() - 1)   # largest power of two <= f
+        while g > 1 and vmem_fn(d, b, n, g) > _VMEM_CEILING:
+            g //= 2
+        return g
     g = 8
     while g > 1 and (vmem_fn(d, b, n, g) > _VMEM_CEILING or g > batch):
         g //= 2
     return g
 
 
-def fused_supported(d, b, n, backend=None):
+def fused_supported(d, b, n, backend=None, dtype=None):
     """True when the fused kernels apply: pallas available, TPU
-    backend, and the G = 1 program fits in VMEM.  A pure function of
-    static shape info so the factor- and solve-side dispatch always
-    agree."""
+    backend, float32 data, and the G = 1 program fits in VMEM.  A pure
+    function of static shape/dtype info so the factor- and solve-side
+    dispatch always agree."""
     if os.environ.get('OPTY_TPU_NO_FUSED_PCR'):
         return False
     if not has_pallas_support():
@@ -106,7 +114,13 @@ def fused_supported(d, b, n, backend=None):
             backend = jax.default_backend()
         except Exception:  # pragma: no cover
             return False
-    if backend == 'cpu':
+    if backend != 'tpu':
+        # the kernels use pltpu.roll / pltpu.VMEM: TPU-only (a GPU
+        # backend would pass importability but die at Mosaic lowering)
+        return False
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        # Mosaic cannot lower f64 (the documented factor_dtype='float64'
+        # option runs the jnp path in emulated f64 instead)
         return False
     if n < 2:
         return False

@@ -113,7 +113,7 @@ def pcr_factor(D, E, F, Kbb):
     F0 = F
 
     from .pallas_pcr import fused_supported, pcr_factor_fused
-    if D.ndim == 3 and fused_supported(D.shape[-3], b, N):
+    if D.ndim == 3 and fused_supported(D.shape[-3], b, N, dtype=D.dtype):
         A_st, B_st, Dinv, Fp, Z = pcr_factor_fused(D, E, F)
         if b:
             schur = Kbb - jnp.einsum('dbn,den->be', Z, Fp)
@@ -173,7 +173,8 @@ def pcr_solve(fac: PCRFactorization, r_nodes, r_border):
 
     from .pallas_pcr import fused_supported, pcr_downsweep_fused
     use_fused = (fac.Dinv.ndim == 3
-                 and fused_supported(fac.Dinv.shape[-3], b, N))
+                 and fused_supported(fac.Dinv.shape[-3], b, N,
+                                     dtype=fac.Dinv.dtype))
     if Np != N:
         r = jnp.concatenate(
             [r, jnp.zeros(r.shape[:-1] + (Np - N,), dtype)], axis=-1)

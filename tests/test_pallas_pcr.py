@@ -62,23 +62,27 @@ def test_factor_matches_jnp_oracle(d, b, N):
 
 
 def test_vmap_is_bitwise_single():
-    """The grouped vmap rule must produce exactly the single-call
-    results — grouping is a layout decision, not a numeric one."""
+    """The grouped vmap rule must produce the single-call results —
+    grouping is a layout decision, not a numeric one.  Bitwise in
+    interpret mode; on real TPU different block shapes may compile to
+    differently-ordered vector ops, so a tight relative tolerance is
+    the guaranteed contract there."""
+    atol = 0.0 if pallas_pcr._INTERPRET else 1e-6
     B, d, b, N = 5, 5, 4, 200   # B=5 exercises group padding
     D, E, F, _, r, _ = _random_system(B, d, b, N)
     Av, Bv, Div, Fpv, Zv = jax.vmap(pallas_pcr.pcr_factor_fused)(D, E, F)
     for i in (0, 4):
         A1, B1, Di1, Fp1, Z1 = pallas_pcr.pcr_factor_fused(D[i], E[i],
                                                            F[i])
-        assert _relerr(Av[i], A1) == 0.0
-        assert _relerr(Div[i], Di1) == 0.0
-        assert _relerr(Zv[i], Z1) == 0.0
+        assert _relerr(Av[i], A1) <= atol
+        assert _relerr(Div[i], Di1) <= atol
+        assert _relerr(Zv[i], Z1) <= atol
 
     Np = Div.shape[-1]
     rp = jnp.concatenate([r, jnp.zeros((B, d, Np - N), jnp.float32)], -1)
     sv = jax.vmap(pallas_pcr.pcr_downsweep_fused)(Av, Bv, rp)
     s0 = pallas_pcr.pcr_downsweep_fused(Av[0], Bv[0], rp[0])
-    assert _relerr(sv[0], s0) == 0.0
+    assert _relerr(sv[0], s0) <= atol
 
 
 def test_downsweep_matches_jnp():
@@ -142,6 +146,27 @@ def test_padded_solve_roundtrip():
 
 def test_fused_supported_gates():
     assert not pallas_pcr.fused_supported(5, 4, 501, backend='cpu')
+    # the kernels are TPU-only (pltpu.roll, pltpu.VMEM): any non-TPU
+    # backend — not just cpu — must fall back to the jnp path
+    assert not pallas_pcr.fused_supported(5, 4, 501, backend='gpu')
+    # Mosaic cannot lower f64 (factor_dtype='float64' runs jnp instead)
+    assert not pallas_pcr.fused_supported(5, 4, 501, backend='tpu',
+                                          dtype=jnp.float64)
+    assert pallas_pcr.fused_supported(5, 4, 501, backend='tpu',
+                                      dtype=jnp.float32)
     # gait-scale blocks blow the VMEM budget -> jnp fallback
     assert not pallas_pcr.fused_supported(50, 40, 4096, backend='tpu')
     assert pallas_pcr.fused_supported(5, 4, 501, backend='tpu')
+
+
+def test_forced_group_is_clamped(monkeypatch):
+    """OPTY_TPU_PCR_GROUP is validated: non-power-of-two values round
+    down, oversized values clamp to the VMEM-fitting group."""
+    monkeypatch.setenv('OPTY_TPU_PCR_GROUP', '6')
+    g = pallas_pcr._pick_group(8, 5, 4, 501, pallas_pcr._factor_vmem)
+    assert g >= 1 and (g & (g - 1)) == 0 and g <= 4
+    assert pallas_pcr._factor_vmem(5, 4, 501, g) <= pallas_pcr._VMEM_CEILING
+    monkeypatch.setenv('OPTY_TPU_PCR_GROUP', '4096')
+    g = pallas_pcr._pick_group(8, 5, 4, 501, pallas_pcr._factor_vmem)
+    assert g >= 1 and (g & (g - 1)) == 0
+    assert pallas_pcr._factor_vmem(5, 4, 501, g) <= pallas_pcr._VMEM_CEILING
