@@ -1,0 +1,975 @@
+"""Pure step functions of the interior-point solver.
+
+Each stage of one IPM iteration — barrier diagonals, optimality error,
+monotone barrier ladder, regularized direction computation, Mehrotra
+probing, filter line search, elastic feasibility restoration, and the
+adaptive-mode stall fallback — is a module-level pure function over an
+explicit :class:`~opty_tpu.nlp.ipm_types.Spec` (problem-constant
+masks/bounds/options) and array arguments.  ``solve_ipm``
+(nlp/ipm.py) assembles them into the iteration body; the unit tests
+(tests/test_ipm_units.py) exercise them in isolation — the structure
+the round-3 mu-tail bug demanded (a 1,400-line closure nest made the
+barrier policy untestable).
+
+Algorithmic provenance is Waechter-Biegler (Math. Prog. 106, 2006)
+throughout; see nlp/ipm.py's module docstring for the design map and
+the reference-stack citation (opty hands this entire layer to Ipopt,
+opty/direct_collocation.py:242-315).
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .ipm_types import Spec  # noqa: F401  (re-export for tests)
+
+__all__ = [
+    'BIG_SIGMA', 'FILTER_SIZE', 'masked_inv', 'push_inside', 'ftb_alpha',
+    'fresh_filter', 'barrier_diagonals', 'optimality_error',
+    'monotone_barrier_update', 'complementarity_average', 'stall_fallback',
+    'regularized_direction', 'mehrotra_probe', 'elastic_data',
+    'filter_line_search', 'restoration_branch',
+]
+
+BIG_SIGMA = 1e30  # must stay inside float32 exponent range: TPU f64
+                  # emulation (float-float) overflows beyond ~1e38
+FILTER_SIZE = 64
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+# ---------------------------------------------------------------------------
+
+def masked_inv(dist, mask):
+    return jnp.where(mask, 1.0 / jnp.where(mask, dist, 1.0), 0.0)
+
+
+def push_inside(v, lo, hi, has_lo, has_hi, k1, k2):
+    """Ipopt-style initial point push into the strict interior."""
+    width = jnp.where(has_lo & has_hi, hi - lo, 1.0)
+    pL = jnp.where(has_lo & has_hi,
+                   jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(lo)), k2 * width),
+                   k1 * jnp.maximum(1.0, jnp.abs(lo)))
+    pU = jnp.where(has_lo & has_hi,
+                   jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(hi)), k2 * width),
+                   k1 * jnp.maximum(1.0, jnp.abs(hi)))
+    v = jnp.where(has_lo, jnp.maximum(v, lo + pL), v)
+    v = jnp.where(has_hi, jnp.minimum(v, hi - pU), v)
+    return v
+
+
+def ftb_alpha(dist, step, mask, tau):
+    """Fraction-to-boundary: max alpha in (0, 1] with
+    dist + alpha * step >= (1 - tau) * dist for all masked coords."""
+    neg = mask & (step < 0)
+    ratio = jnp.where(neg, -tau * dist / jnp.where(neg, step, -1.0), 1.0)
+    return jnp.minimum(1.0, jnp.min(ratio) if ratio.ndim else ratio)
+
+
+def fresh_filter(theta_max, dtype):
+    """Empty filter containing only the (theta_max, -inf) cap."""
+    f_theta = jnp.full((FILTER_SIZE,), jnp.inf, dtype)
+    f_phi = jnp.full((FILTER_SIZE,), jnp.inf, dtype)
+    f_theta = f_theta.at[0].set(theta_max)
+    f_phi = f_phi.at[0].set(-jnp.inf)
+    return f_theta, f_phi, jnp.asarray(1, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# barrier diagonals
+# ---------------------------------------------------------------------------
+
+class Diag(NamedTuple):
+    """Bound distances, their inverses, and the primal-dual barrier
+    diagonals at one iterate."""
+    dLx: jnp.ndarray
+    dUx: jnp.ndarray
+    dLs: jnp.ndarray
+    dUs: jnp.ndarray
+    iLx: jnp.ndarray
+    iUx: jnp.ndarray
+    iLs: jnp.ndarray
+    iUs: jnp.ndarray
+    SigL: jnp.ndarray
+    SigU: jnp.ndarray
+    SigsL: jnp.ndarray
+    SigsU: jnp.ndarray
+    sigma_x: jnp.ndarray
+    sigma_s: jnp.ndarray
+    Ds: jnp.ndarray
+
+
+def barrier_diagonals(spec: Spec, x, s, zL, zU, wL, wU) -> Diag:
+    """Bound distances, inverse distances, and the condensed barrier
+    diagonals Sigma_x / Sigma_s; ``Ds`` is the (2,2)-block diagonal of
+    the condensed system (with BIG_SIGMA for free rows)."""
+    dLx = jnp.where(spec.mL, x - spec.xl, 1.0)
+    dUx = jnp.where(spec.mU, spec.xu - x, 1.0)
+    dLs = jnp.where(spec.msL, s - spec.cl, 1.0)
+    dUs = jnp.where(spec.msU, spec.cu - s, 1.0)
+    iLx = masked_inv(dLx, spec.mL)
+    iUx = masked_inv(dUx, spec.mU)
+    iLs = masked_inv(dLs, spec.msL)
+    iUs = masked_inv(dUs, spec.msU)
+    SigL = zL * iLx
+    SigU = zU * iUx
+    sigma_x = SigL + SigU + jnp.where(spec.fixed, BIG_SIGMA, 0.0)
+    SigsL = wL * iLs
+    SigsU = wU * iUs
+    sigma_s = SigsL + SigsU
+    Ds = jnp.where(spec.eq, 0.0,
+                   jnp.where(spec.free_row, BIG_SIGMA,
+                             1.0 / jnp.maximum(sigma_s, 1e-30)))
+    return Diag(dLx, dUx, dLs, dUs, iLx, iUx, iLs, iUs,
+                SigL, SigU, SigsL, SigsU, sigma_x, sigma_s, Ds)
+
+
+# ---------------------------------------------------------------------------
+# optimality error and barrier updates
+# ---------------------------------------------------------------------------
+
+def optimality_error(spec: Spec, g, c, Jty, x, s, y, zL, zU, wL, wU, mu):
+    """Ipopt's scaled KKT error E_mu from precomputed g, c, J^T y.
+    Returns (E, inf_pr, inf_du)."""
+    opt = spec.opt
+    n = x.shape[0]
+    m = c.shape[0]
+    r_dual_x = jnp.where(spec.fixed, 0.0, g + Jty - zL + zU)
+    r_dual_s = jnp.where(spec.eq, 0.0, -y - wL + wU)
+    inf_du = jnp.maximum(jnp.max(jnp.abs(r_dual_x)),
+                         jnp.max(jnp.abs(r_dual_s)))
+    r_prim = c - s
+    inf_pr = jnp.max(jnp.abs(r_prim))
+    dLx = jnp.where(spec.mL, x - spec.xl, 1.0)
+    dUx = jnp.where(spec.mU, spec.xu - x, 1.0)
+    dLs = jnp.where(spec.msL, s - spec.cl, 1.0)
+    dUs = jnp.where(spec.msU, spec.cu - s, 1.0)
+    comp = jnp.concatenate([
+        jnp.where(spec.mL, zL * dLx - mu, 0.0),
+        jnp.where(spec.mU, zU * dUx - mu, 0.0),
+        jnp.where(spec.msL, wL * dLs - mu, 0.0),
+        jnp.where(spec.msU, wU * dUs - mu, 0.0)])
+    inf_comp = jnp.max(jnp.abs(comp))
+    dual_l1 = (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(zL))
+               + jnp.sum(jnp.abs(zU)) + jnp.sum(jnp.abs(wL))
+               + jnp.sum(jnp.abs(wU)))
+    # Waechter-Biegler denominator m + n with n = primal variable
+    # count including slacks (x and s in this formulation).
+    sd = jnp.maximum(opt.s_max, dual_l1 / (m + (n + m))) / opt.s_max
+    z_l1 = (jnp.sum(jnp.abs(zL)) + jnp.sum(jnp.abs(zU))
+            + jnp.sum(jnp.abs(wL)) + jnp.sum(jnp.abs(wU)))
+    sc = jnp.maximum(opt.s_max, z_l1 / spec.n_comp) / opt.s_max
+    E = jnp.maximum(jnp.maximum(inf_du / sd, inf_pr), inf_comp / sc)
+    return E, inf_pr, inf_du
+
+
+def monotone_barrier_update(spec: Spec, mu, g, c, Jty, x, s, y,
+                            zL, zU, wL, wU):
+    """Fiacco-McCormick ladder: shrink mu (up to 4 times) while the
+    barrier problem is solved to kappa_eps * mu.  Returns
+    (mu, tau, shrunk)."""
+    opt = spec.opt
+    dtype = mu.dtype
+
+    def mu_red(carry, _):
+        mu, tau, shrunk = carry
+        E_mu, _, _ = optimality_error(
+            spec, g, c, Jty, x, s, y, zL, zU, wL, wU, mu)
+        shrink = (E_mu <= opt.kappa_eps * mu) & (mu > opt.tol / 11.0)
+        new_mu = jnp.maximum(opt.tol / 11.0,
+                             jnp.minimum(opt.kappa_mu * mu,
+                                         mu ** opt.theta_mu))
+        mu = jnp.where(shrink, new_mu, mu)
+        tau = jnp.maximum(opt.tau_min, 1.0 - mu)
+        return (mu, tau, shrunk | shrink), None
+
+    (mu_mono, tau_mono, mu_shrunk), _ = jax.lax.scan(
+        mu_red, (mu, jnp.asarray(0.0, dtype), jnp.asarray(False)),
+        None, length=4)
+    return mu_mono, tau_mono, mu_shrunk
+
+
+def complementarity_average(spec: Spec, x, s, zL, zU, wL, wU):
+    """Average complementarity product over all finite bound/slack
+    pairs — Mehrotra's mu_avg, also the natural re-centering barrier
+    value when a probing lane abandons the probe."""
+    dLx = jnp.where(spec.mL, x - spec.xl, 0.0)
+    dUx = jnp.where(spec.mU, spec.xu - x, 0.0)
+    dLs = jnp.where(spec.msL, s - spec.cl, 0.0)
+    dUs = jnp.where(spec.msU, spec.cu - s, 0.0)
+    comp = (jnp.sum(zL * dLx) + jnp.sum(zU * dUx)
+            + jnp.sum(wL * dLs) + jnp.sum(wU * dUs))
+    return comp / spec.n_comp
+
+
+def stall_fallback(spec: Spec, mono, in_rest, alpha, E_new, E_old,
+                   free_stall):
+    """Adaptive-mode stall detector (the round-3 hard-tail fix).
+
+    A free (probing) lane that keeps being *accepted* but makes no
+    real progress — step fraction below stall_alpha, or optimality
+    error not improving by at least (1 - stall_ratio) — never fails
+    its line search, so the restoration-entry fallback (Ipopt's
+    adaptive globalization trigger) can never fire.  Count such
+    iterations; at stall_window consecutive ones the lane falls back
+    to the monotone ladder.  Returns (free_stall_next, fall_now)."""
+    opt = spec.opt
+    slow = ((~mono) & (~in_rest)
+            & ((alpha < opt.stall_alpha)
+               | (E_new > opt.stall_ratio * E_old)))
+    free_stall_next = jnp.where(slow, free_stall + 1,
+                                jnp.asarray(0, jnp.int32))
+    fall_now = (~mono) & (free_stall_next >= opt.stall_window)
+    return free_stall_next, fall_now
+
+
+# ---------------------------------------------------------------------------
+# elastic restoration data (shared between the merged direction solve
+# and the restoration branch)
+# ---------------------------------------------------------------------------
+
+class ElasticData(NamedTuple):
+    """Precomputed elastic-restoration quantities at the current
+    iterate; built every iteration (cheap) so the merged direction
+    system can select restoration blocks per lane.  ``vjp_x`` is the
+    constraints VJP closure at x — used only through Python closures,
+    never across a jax control-flow boundary."""
+    rho_R: Any
+    mu_R: jnp.ndarray
+    r_rest: jnp.ndarray
+    p_el: jnp.ndarray
+    n_el: jnp.ndarray
+    y_imp: jnp.ndarray
+    DsR: jnp.ndarray
+    rhs_sR: jnp.ndarray
+    dR2: jnp.ndarray
+    zeta_R: jnp.ndarray
+    sigma_xR: jnp.ndarray
+    rx_rest: jnp.ndarray
+    rc_rest: jnp.ndarray
+    vjp_x: Any
+
+
+def elastic_data(spec: Spec, fns, x, s, c, diag: Diag, x_R, mu_R,
+                 rest_lam) -> ElasticData:
+    """Restoration lanes solve the ELASTIC restoration NLP (the
+    in-framework form of Ipopt's restoration phase, W-B A-9):
+
+        min  rho (p + n) + zeta/2 |D_R (x - x_R)|^2
+             - mu_R [sum log(bound distances) + log p + log n]
+        s.t. c(x) - s - p + n = 0
+
+    p, n enter linearly, so for a given residual r = c - s the
+    barrier-optimal elastic pair has the CLOSED FORM
+
+        n = (mu_R - rho r + sqrt(rho^2 r^2 + mu_R^2)) / (2 rho)
+        p = n + r            (both always > 0)
+
+    and re-eliminating (p, n) after every step keeps the elastic
+    constraint satisfied EXACTLY at every iterate: restoration
+    becomes monotone descent on the smooth merit rho(p+n) + prox
+    + barriers (a smoothed L1 feasibility measure), with implied
+    multiplier y_imp = rho - mu_R/p = mu_R/n - rho bounded by
+    rho — the L1 exactness property that lets the elastic phase
+    walk through rank-deficient and complementarity-degenerate
+    Jacobians where a damped Gauss-Newton step stalls.
+    Condensing p, n, s into the constraint row turns the (2,2)
+    block into -(Ds_R + p^2/mu_R + n^2/mu_R): same bordered
+    block-tridiagonal structure, one shared factorization."""
+    rho_R = 1000.0
+    r_rest = c - s
+    S_el = jnp.sqrt((rho_R * r_rest) ** 2 + mu_R ** 2)
+    n_el = (mu_R - rho_R * r_rest + S_el) / (2.0 * rho_R)
+    p_el = n_el + r_rest
+    y_imp = rho_R - mu_R / jnp.maximum(p_el, 1e-30)
+    sigma_sR = mu_R * (diag.iLs ** 2 + diag.iUs ** 2)
+    DsR = jnp.where(spec.eq, 0.0,
+                    jnp.where(spec.free_row, BIG_SIGMA,
+                              1.0 / jnp.maximum(sigma_sR, 1e-30)))
+    rhs_sR = jnp.where(spec.eq, 0.0,
+                       -(-y_imp - mu_R * diag.iLs + mu_R * diag.iUs))
+    dR2 = 1.0 / jnp.maximum(1.0, jnp.abs(x_R)) ** 2
+    zeta_R = rest_lam * jnp.sqrt(mu_R)
+    sigma_xR = (mu_R * (diag.iLx ** 2 + diag.iUx ** 2) + zeta_R * dR2
+                + jnp.where(spec.fixed, BIG_SIGMA, 0.0))
+    _, vjp_x = jax.vjp(fns.constraints, x)
+    Jty_imp = vjp_x(y_imp)[0]
+    rx_rest = jnp.where(spec.fixed, 0.0,
+                        -(zeta_R * dR2 * (x - x_R) + Jty_imp
+                          - mu_R * diag.iLx + mu_R * diag.iUx))
+    rc_rest = DsR * rhs_sR   # c - s - p + n = 0 by construction
+    return ElasticData(rho_R, mu_R, r_rest, p_el, n_el, y_imp, DsR,
+                       rhs_sR, dR2, zeta_R, sigma_xR, rx_rest, rc_rest,
+                       vjp_x)
+
+
+# ---------------------------------------------------------------------------
+# regularized direction computation
+# ---------------------------------------------------------------------------
+
+def regularized_direction(spec: Spec, fns, x, y, prep, gn,
+                          sigma_m, ds_m, rx_m, rc_m,
+                          Ds, rhs_s_lad, sigma_x, sigma_s,
+                          delta_w_prev, alpha_last, E_last, E_prev,
+                          accept_count, mu_prev):
+    """Direction solve with the inertia-free regularization retry
+    ladder (adapted Waechter-Biegler IC-1..IC-6; see the inline
+    policy comment).  Factors once per trial; the final factorization
+    is returned for reuse by the Mehrotra corrector and SOC.
+
+    Returns (dx, dy, ds, dx_gn, dy_gn, fac_used, delta_w_used,
+    delta_c, dir_ok)."""
+    opt = spec.opt
+    dtype = sigma_m.dtype
+    fixed, eq = spec.fixed, spec.eq
+
+    def lag_grad(xx):
+        _, vj = jax.vjp(fns.constraints, xx)
+        return fns.gradient(xx) + vj(y)[0]
+
+    def compute_dir(delta_w, delta_c):
+        """Factor once per regularization trial; the factorization
+        rides in the retry-loop carry so the SOC re-solve below
+        reuses it instead of re-factoring an unchanged matrix.
+        Regularization applies to regular lanes only (restoration
+        lanes' LM damping rides in sigma_m already)."""
+        fac = fns.kkt_factor(prep,
+                             sigma_m + jnp.where(gn, 0.0, delta_w),
+                             ds_m + jnp.where(gn, 0.0, delta_c),
+                             gn)
+        dxx, dyy, rres = fns.kkt_apply(fac, rx_m, rc_m)
+        dxx = jnp.where(fixed, 0.0, dxx)
+        dss = Ds * (dyy + rhs_s_lad)
+        dss = jnp.where(eq, 0.0, dss)
+        return dxx, dyy, dss, fac, rres
+
+    def dir_quality(dxx, dyy, dss, delta_w, rres):
+        finite = (jnp.all(jnp.isfinite(dxx))
+                  & jnp.all(jnp.isfinite(dyy)))
+        # A near-singular iteration matrix (degenerate constraint
+        # rows: vanishing gradient with an active slack bound, e.g.
+        # gated path inequalities outside their region) shows up as
+        # an exploding multiplier step long before it turns
+        # non-finite.  Treat it like singularity and let the retry
+        # loop raise delta_c — the inertia-free analog of Ipopt's
+        # delta_c perturbation for rank-deficient Jacobians.
+        dy_ok = jnp.max(jnp.abs(dyy)) <= 1e12
+        healthy = finite & dy_ok
+        # Post-refinement relative KKT residual: W + Sigma is
+        # legitimately indefinite at a constrained optimum, and the
+        # pivoting-free structured factorization can lose all
+        # accuracy on it (tiny pivots) while every entry stays finite
+        # and the directional-curvature test passes on the garbage
+        # step.  A trial only counts as solved when the Newton system
+        # was actually solved.
+        solved = rres <= opt.eta_kkt_resid
+        Wdx = jax.jvp(lag_grad, (x,), (dxx,))[1]
+        curv = (jnp.dot(dxx, Wdx) + jnp.dot(sigma_x * dxx, dxx)
+                + delta_w * jnp.dot(dxx, dxx)
+                + jnp.dot(sigma_s * dss, dss))
+        nrm = jnp.dot(dxx, dxx) + jnp.dot(dss, dss)
+        if opt.trace:
+            jax.debug.print(
+                'TRIAL dw={dw:.1e} rres={rr:.2e} curv={cv:.3e} '
+                'nrm={nm:.3e} healthy={h} dymax={dm:.2e}',
+                dw=delta_w, rr=rres, cv=curv, nm=nrm, h=healthy,
+                dm=jnp.max(jnp.abs(dyy)))
+        # restoration lanes always pass: their GN step is judged by
+        # the restoration branch, and they must not drive the regular
+        # lanes' regularization retry loop
+        ok = (healthy & solved & (curv >= opt.kappa_curv * nrm)) | gn
+        return ok, healthy
+
+    def dir_cond(carry):
+        _, _, _, _, _, _, _, tries, ok = carry
+        return (~ok) & (tries < 14)
+
+    def dir_body(carry):
+        dxx, dyy, dss, fac, dw, dc, healthy_prev, tries, _ = carry
+        # delta_w control, adapted from Waechter-Biegler IC-1..IC-6
+        # for an INERTIA-FREE solver: Ipopt reads the exact inertia
+        # off its pivoted LDL^T and sets delta_w to exactly the level
+        # the curvature needs.  The structured pivoting-free
+        # factorization has no inertia signal — a slightly-damped
+        # saddle system passes both our trial checks (small KKT
+        # residual, nonnegative directional curvature) while giving
+        # wild steps — so the cross-ITERATION delta_w policy runs on
+        # line-search and optimality-error feedback instead:
+        #
+        #   * alpha_last ~ 1 and E improving  -> decay /3
+        #     (IC-3's kappa_w-; lets dw fall below any fixed floor so
+        #     the endgame turns (super)linear -> the 9-link chain
+        #     stalled at inf_pr 4e-5 with dw pinned at 1e-4,
+        #     converges to 1e-9 with decay);
+        #   * 0 < alpha_last < 1e-2          -> grow x8
+        #     (steps the filter keeps cutting mean too LITTLE
+        #     damping: push toward a tamer gradient-like step;
+        #     alpha = 0 is a failed search = restoration's business);
+        #   * at acceptable E that has flattened -> freeze
+        #     (rounding floor: decay probing there feeds
+        #     slightly-sloppy solves back into the iterate — observed
+        #     pr degrading x9/iter on quarter-car until the warm
+        #     start was destroyed);
+        #   * otherwise                       -> hold.
+        #
+        # WITHIN an iteration the retry ladder is W-B: first ever
+        # regularization jumps to delta_w_0 = 1e-4 and escalates
+        # x100, later ones escalate x8 from the feedback value; a
+        # SINGULAR trial (non-finite factor / blown multiplier step)
+        # also escalates x100 since the start can sit decades below
+        # the useful range.  Singularity and indefiniteness have
+        # distinct cures (IC-2 vs IC-5): a singular trial with
+        # delta_c still zero first retries with delta_c alone
+        # (rank-deficient constraint rows, e.g. a vacuous 0 = 0 row,
+        # need no Hessian damping).
+        was_zero = delta_w_prev == 0.0
+        good_step = alpha_last >= 0.9
+        bad_step = (alpha_last > 0.0) & (alpha_last < 1e-2)
+        improving = E_last < 0.99 * E_prev
+        freeze = (accept_count > 0) & ~improving
+        first_retry = jnp.where(
+            freeze & ~was_zero, delta_w_prev,
+            jnp.where(
+                bad_step & ~was_zero,
+                jnp.minimum(delta_w_prev * 8.0, 1e6),
+                jnp.where(
+                    was_zero,
+                    jnp.asarray(opt.delta_w_init * 1e4, dtype),
+                    jnp.where(
+                        good_step,
+                        jnp.maximum(opt.delta_w_min,
+                                    delta_w_prev * 0.33),
+                        delta_w_prev))))
+        growth = jnp.where(was_zero | ~healthy_prev, 100.0, 8.0)
+        dw_candidate = jnp.where(
+            dw == 0.0, first_retry,
+            jnp.minimum(dw * growth, opt.delta_w_max))
+        dc_only = (~healthy_prev) & (dc == 0.0)
+        dw_new = jnp.where(dc_only, dw, dw_candidate)
+        # Ipopt's delta_c is transient: a mu-scaled constraint
+        # damping applied while this iteration's factorization
+        # sequence keeps coming back singular (delta_c_bar *
+        # mu^kappa_c with delta_c_bar = 1e-8, kappa_c = 1/4) — NOT a
+        # persistent state that compounds across iterations (a x100
+        # ratchet there poisons every later factorization and stalls
+        # warm-started solves).  A STILL-singular trial escalates
+        # delta_c x100: structurally rank-deficient Jacobians (e.g.
+        # final-node path-constraint rows spanned by the instance
+        # rows pinning every state there, as in the parallel-park
+        # problem — J loses exactly one rank per such row) need far
+        # more than Ipopt's mu-scaled seed for the pivoting-free
+        # structured factorization to produce a bounded
+        # least-squares-like dy.
+        dc_new = jnp.where(healthy_prev, dc,
+                           jnp.maximum(1e-8 * mu_prev ** 0.25,
+                                       opt.delta_c_init))
+        dxx, dyy, dss, fac, rres = compute_dir(dw_new, dc_new)
+        ok, healthy = dir_quality(dxx, dyy, dss, dw_new, rres)
+        return (dxx, dyy, dss, fac, dw_new, dc_new, healthy,
+                tries + 1, ok)
+
+    dx, dy, ds, fac0, rres0 = compute_dir(jnp.asarray(0.0, dtype),
+                                          jnp.asarray(0.0, dtype))
+    # the trial-0 solution of the merged system IS the damped
+    # Gauss-Newton step for restoration lanes; capture it before the
+    # retry loop perturbs regular lanes
+    dx_gn, dy_gn = dx, dy
+    ok0, healthy0 = dir_quality(dx, dy, ds,
+                                jnp.asarray(0.0, dtype), rres0)
+    (dx, dy, ds, fac_used, delta_w_used, delta_c, _, _,
+     dir_ok) = jax.lax.while_loop(
+            dir_cond, dir_body,
+            (dx, dy, ds, fac0, jnp.asarray(0.0, dtype),
+             jnp.asarray(0.0, dtype), healthy0,
+             jnp.asarray(0, jnp.int32), ok0))
+    dir_bad = ~dir_ok
+    dx = jnp.where(dir_bad, 0.0, dx)
+    dy = jnp.where(dir_bad, 0.0, dy)
+    ds = jnp.where(dir_bad, 0.0, ds)
+    return (dx, dy, ds, dx_gn, dy_gn, fac_used, delta_w_used, delta_c,
+            dir_ok)
+
+
+# ---------------------------------------------------------------------------
+# Mehrotra probing barrier
+# ---------------------------------------------------------------------------
+
+def mehrotra_probe(spec: Spec, diag: Diag, zL, zU, wL, wU,
+                   dx, ds, mu_prev, dir_bad):
+    """Mehrotra-style probing mu from the affine (mu = 0) predictor
+    direction (dx, ds): measure how far the fraction-to-boundary rule
+    lets the affine step travel, and set
+    mu = clip((mu_aff / mu_avg)^3, 1e-4, 1) * mu_avg — capped at the
+    carried mu (downward-only; see inline comment)."""
+    opt = spec.opt
+    tau_p = jnp.maximum(opt.tau_min, 1.0 - mu_prev)
+    dzLa = jnp.where(spec.mL, -zL - diag.SigL * dx, 0.0)
+    dzUa = jnp.where(spec.mU, -zU + diag.SigU * dx, 0.0)
+    dwLa = jnp.where(spec.msL, -wL - diag.SigsL * ds, 0.0)
+    dwUa = jnp.where(spec.msU, -wU + diag.SigsU * ds, 0.0)
+    a_pr_a = jnp.minimum(
+        jnp.minimum(ftb_alpha(diag.dLx, dx, spec.mL, tau_p),
+                    ftb_alpha(diag.dUx, -dx, spec.mU, tau_p)),
+        jnp.minimum(ftb_alpha(diag.dLs, ds, spec.msL, tau_p),
+                    ftb_alpha(diag.dUs, -ds, spec.msU, tau_p)))
+    a_du_a = jnp.minimum(
+        jnp.minimum(ftb_alpha(zL, dzLa, spec.mL, tau_p),
+                    ftb_alpha(zU, dzUa, spec.mU, tau_p)),
+        jnp.minimum(ftb_alpha(wL, dwLa, spec.msL, tau_p),
+                    ftb_alpha(wU, dwUa, spec.msU, tau_p)))
+    a_aff = jnp.minimum(a_pr_a, a_du_a)
+    msum = lambda mk, v: jnp.sum(jnp.where(mk, v, 0.0))
+    comp0 = (msum(spec.mL, zL * diag.dLx) + msum(spec.mU, zU * diag.dUx)
+             + msum(spec.msL, wL * diag.dLs)
+             + msum(spec.msU, wU * diag.dUs))
+    comp_aff = (
+        msum(spec.mL, (zL + a_aff * dzLa) * (diag.dLx + a_aff * dx))
+        + msum(spec.mU, (zU + a_aff * dzUa) * (diag.dUx - a_aff * dx))
+        + msum(spec.msL, (wL + a_aff * dwLa) * (diag.dLs + a_aff * ds))
+        + msum(spec.msU, (wU + a_aff * dwUa) * (diag.dUs - a_aff * ds)))
+    mu_avg = jnp.maximum(comp0 / spec.n_comp, 1e-300)
+    mu_aff = jnp.maximum(comp_aff, 0.0) / spec.n_comp
+    sigma_p = jnp.clip((mu_aff / mu_avg) ** 3, 1e-4, 1.0)
+    # DOWNWARD-ONLY probe: when the affine step cannot travel
+    # (nonconvex far-from-feasible phase) sigma -> 1 and
+    # sigma * mu_avg is the CURRENT complementarity average, which
+    # can sit far above the carried mu; adopting it creates a
+    # mu <-> dual-growth feedback loop (observed: mu ratcheted to
+    # 1e2, |y| to 1e8 on the variable-h swing-up).  The probe's value
+    # is skipping the monotone ladder's descent, so it may only
+    # accelerate mu DOWN; increases stay the business of the
+    # restoration kick.
+    mu_ad = jnp.minimum(
+        jnp.maximum(sigma_p * mu_avg, opt.tol / 11.0), mu_prev)
+    # a direction the quality gate rejected outright gives a
+    # meaningless probe (dx = 0 -> mu_aff = mu_avg): hold mu
+    return jnp.where(dir_bad, mu_prev, mu_ad)
+
+
+# ---------------------------------------------------------------------------
+# filter line search (the regular IPM step)
+# ---------------------------------------------------------------------------
+
+def filter_line_search(spec: Spec, fns, x, s, y, zL, zU, wL, wU,
+                       diag: Diag, g, c, theta_now, theta_min,
+                       mu, tau, dx, dy, ds, dir_bad,
+                       fac_used, rx, rhs_s,
+                       f_theta, f_phi, f_count,
+                       theta_prev, stall_count_prev):
+    """One regular filter-IPM step: fraction-to-boundary, filter
+    acceptance of the full step, second-order correction, backtracking
+    fallback, dual step, filter augmentation, restoration triggers.
+
+    Returns (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, f_theta, f_phi,
+    f_count, enter_rest, alpha, stall_count, was_ftype)."""
+    opt = spec.opt
+    dtype = x.dtype
+    eps_mach = jnp.finfo(dtype).eps
+    mL, mU, msL, msU = spec.mL, spec.mU, spec.msL, spec.msU
+    fixed, eq = spec.fixed, spec.eq
+    dLx, dUx, dLs, dUs = diag.dLx, diag.dUx, diag.dLs, diag.dUs
+    iLx, iUx, iLs, iUs = diag.iLx, diag.iUx, diag.iLs, diag.iUs
+    Ds = diag.Ds
+
+    # -- fraction to boundary --------------------------------------
+    a_pr_max = jnp.minimum(
+        jnp.minimum(ftb_alpha(dLx, dx, mL, tau),
+                    ftb_alpha(dUx, -dx, mU, tau)),
+        jnp.minimum(ftb_alpha(dLs, ds, msL, tau),
+                    ftb_alpha(dUs, -ds, msU, tau)))
+
+    # -- filter line search ----------------------------------------
+    # phi/theta at the current point from the CARRIED residual c
+    # (exact at x): saves one constraints eval per iteration over
+    # calling barrier_phi(x, s, mu)
+    slog = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
+    bar0 = slog(dLx) + slog(dUx) + slog(dLs) + slog(dUs)
+    # dLx/dUx/dLs/dUs are already masked to 1.0 off-mask
+    okb0 = (jnp.all(dLx > 0) & jnp.all(dUx > 0)
+            & jnp.all(dLs > 0) & jnp.all(dUs > 0))
+    phi0 = jnp.where(okb0, fns.objective(x) - mu * bar0, jnp.inf)
+    theta0 = theta_now
+    gphi_x = g - mu * iLx + mu * iUx
+    gphi_s = -mu * iLs + mu * iUs
+    Dphi = jnp.dot(gphi_x, dx) + jnp.dot(gphi_s, ds)
+
+    neg = Dphi < 0
+    amin_sw = jnp.minimum(
+        opt.gamma_theta,
+        jnp.minimum(
+            opt.gamma_phi * theta0 / jnp.maximum(-Dphi, 1e-30),
+            opt.delta_switch * theta0 ** opt.s_theta
+            / jnp.maximum((-Dphi) ** opt.s_phi, 1e-30)))
+    amin_ne = jnp.minimum(opt.gamma_theta,
+                          opt.gamma_phi * theta0
+                          / jnp.maximum(-Dphi, 1e-30))
+    alpha_min = opt.gamma_alpha * jnp.where(
+        neg & (theta0 <= theta_min), amin_sw,
+        jnp.where(neg, amin_ne, opt.gamma_theta))
+
+    step_small = jnp.max(
+        jnp.abs(jnp.concatenate([dx, ds]))
+        / (1.0 + jnp.abs(jnp.concatenate([x, s])))
+    ) < 10.0 * eps_mach
+
+    fslots = jnp.arange(FILTER_SIZE)
+
+    def filter_ok_fn(theta_t, phi_t):
+        valid = fslots < f_count
+        ok_each = (theta_t < f_theta) | (phi_t < f_phi)
+        return jnp.all(ok_each | ~valid)
+
+    def trial_point(alpha, dxx, dss):
+        """phi, theta and the raw constraint residual at a trial
+        point — ONE constraints evaluation shared by the filter
+        tests, the theta comparison and the SOC residual."""
+        xt = x + alpha * dxx
+        st_ = s + alpha * dss
+        dL1 = jnp.where(mL, xt - spec.xl, 1.0)
+        dU1 = jnp.where(mU, spec.xu - xt, 1.0)
+        dL2 = jnp.where(msL, st_ - spec.cl, 1.0)
+        dU2 = jnp.where(msU, spec.cu - st_, 1.0)
+        okt = (jnp.all(dL1 > 0) & jnp.all(dU1 > 0)
+               & jnp.all(dL2 > 0) & jnp.all(dU2 > 0))
+        bar = slog(dL1) + slog(dU1) + slog(dL2) + slog(dU2)
+        rt = fns.constraints(xt) - st_
+        phi_t = jnp.where(okt, fns.objective(xt) - mu * bar,
+                          jnp.inf)
+        return phi_t, jnp.sum(jnp.abs(rt)), rt
+
+    def accept_tests(alpha, dxx, dss, phi_t, theta_t):
+        f_ok = filter_ok_fn(theta_t, phi_t)
+        Dphi_d = jnp.dot(gphi_x, dxx) + jnp.dot(gphi_s, dss)
+        sw = (Dphi_d < 0) & (alpha * (-Dphi_d) ** opt.s_phi
+                             > opt.delta_switch
+                             * theta0 ** opt.s_theta)
+        armijo = phi_t <= phi0 + opt.eta_phi * alpha * Dphi_d \
+            + 10.0 * eps_mach * jnp.abs(phi0)
+        curr_ok = ((theta_t <= (1.0 - opt.gamma_theta) * theta0)
+                   | (phi_t <= phi0 - opt.gamma_phi * theta0))
+        ftype = (theta0 <= theta_min) & sw
+        return f_ok & jnp.where(ftype, armijo, curr_ok), \
+            ftype & armijo
+
+    def try_dir(alpha, dxx, dss):
+        phi_t, theta_t, _ = trial_point(alpha, dxx, dss)
+        return accept_tests(alpha, dxx, dss, phi_t, theta_t)
+
+    phi_t1, theta_t1, r_trial1 = trial_point(a_pr_max, dx, ds)
+    acc1, ftype1 = accept_tests(a_pr_max, dx, ds, phi_t1, theta_t1)
+    acc1 = (acc1 | step_small) & ~dir_bad
+
+    # -- second-order correction (Ipopt A-5.7) ---------------------
+    def soc_branch(_):
+        # r_trial1 was already evaluated for the filter test of the
+        # full step — no extra constraints eval here
+        c_soc = a_pr_max * (c - s) + r_trial1
+        rc_soc = -c_soc + Ds * rhs_s
+        # reuse the accepted direction's factorization: the SOC
+        # matrix is identical, only the rhs changed
+        if fns.kkt_apply_soc is not None:
+            dxx, dyy = fns.kkt_apply_soc(fac_used, rx, rc_soc)
+        else:
+            dxx, dyy, _ = fns.kkt_apply(fac_used, rx, rc_soc)
+        dxx = jnp.where(fixed, 0.0, dxx)
+        dss = Ds * (dyy + rhs_s)
+        dss = jnp.where(eq, 0.0, dss)
+        fin = jnp.all(jnp.isfinite(dxx)) \
+            & jnp.all(jnp.isfinite(dyy))
+        dxx = jnp.where(fin, dxx, 0.0)
+        dyy = jnp.where(fin, dyy, 0.0)
+        dss = jnp.where(fin, dss, 0.0)
+        return dxx, dyy, dss, fin
+
+    def no_soc(_):
+        return (jnp.zeros_like(dx), jnp.zeros_like(dy),
+                jnp.zeros_like(ds), jnp.asarray(False))
+
+    want_soc = (~acc1) & (theta_t1 >= theta0) & ~dir_bad
+    dx_soc, dy_soc, ds_soc, soc_fin = jax.lax.cond(
+        want_soc, soc_branch, no_soc, operand=None)
+
+    a_soc = jnp.minimum(
+        jnp.minimum(ftb_alpha(dLx, dx_soc, mL, tau),
+                    ftb_alpha(dUx, -dx_soc, mU, tau)),
+        jnp.minimum(ftb_alpha(dLs, ds_soc, msL, tau),
+                    ftb_alpha(dUs, -ds_soc, msU, tau)))
+    acc_soc, ftype_soc = try_dir(a_soc, dx_soc, ds_soc)
+    acc_soc = acc_soc & soc_fin & want_soc
+
+    # -- backtracking fallback -------------------------------------
+    def ls_cond(carry):
+        alpha, j, accepted, _ = carry
+        return (~accepted) & (j < opt.max_ls) & (alpha >= alpha_min)
+
+    def ls_body(carry):
+        alpha, j, _, _ = carry
+        acc, is_ftype = try_dir(alpha, dx, ds)
+        acc = acc | step_small
+        alpha_new = jnp.where(acc, alpha, alpha * 0.5)
+        return alpha_new, j + 1, acc, is_ftype
+
+    # the loop starts pre-accepted when the full step or the SOC step
+    # already passed: zero trial evaluations then (under vmap the trip
+    # count is the max over lanes, so an always-run first trip taxes
+    # every converged-lane batch)
+    alpha_bt, _, acc_bt, ftype_bt = jax.lax.while_loop(
+        ls_cond, ls_body,
+        (a_pr_max * 0.5, jnp.asarray(1, jnp.int32),
+         acc1 | acc_soc, jnp.asarray(False)))
+    acc_bt = acc_bt & ~(acc1 | acc_soc) & ~dir_bad
+
+    use_soc = (~acc1) & acc_soc
+    use_bt = (~acc1) & (~use_soc) & acc_bt
+    accepted = acc1 | use_soc | use_bt
+    alpha = jnp.where(acc1, a_pr_max,
+                      jnp.where(use_soc, a_soc,
+                                jnp.where(use_bt, alpha_bt, 0.0)))
+    dx_f = jnp.where(use_soc, dx_soc, dx)
+    dy_f = jnp.where(use_soc, dy_soc, dy)
+    ds_f = jnp.where(use_soc, ds_soc, ds)
+    was_ftype = jnp.where(acc1, ftype1,
+                          jnp.where(use_soc, ftype_soc, ftype_bt))
+
+    # dual directions & step
+    dzL = jnp.where(mL, mu * iLx - zL - diag.SigL * dx_f, 0.0)
+    dzU = jnp.where(mU, mu * iUx - zU + diag.SigU * dx_f, 0.0)
+    dwL = jnp.where(msL, mu * iLs - wL - diag.SigsL * ds_f, 0.0)
+    dwU = jnp.where(msU, mu * iUs - wU + diag.SigsU * ds_f, 0.0)
+    a_du = jnp.minimum(
+        jnp.minimum(ftb_alpha(zL, dzL, mL, tau),
+                    ftb_alpha(zU, dzU, mU, tau)),
+        jnp.minimum(ftb_alpha(wL, dwL, msL, tau),
+                    ftb_alpha(wU, dwU, msU, tau)))
+
+    x_n = x + alpha * dx_f
+    s_n = s + alpha * ds_f
+    y_n = y + alpha * dy_f
+    zL_n = zL + a_du * dzL
+    zU_n = zU + a_du * dzU
+    wL_n = wL + a_du * dwL
+    wU_n = wU + a_du * dwU
+
+    # filter augmentation for accepted non-f-type steps
+    augment = accepted & ~was_ftype & ~step_small
+    slot = jnp.minimum(f_count, FILTER_SIZE - 1)
+    fth = jnp.where(augment, f_theta.at[slot].set(
+        (1.0 - opt.gamma_theta) * theta0), f_theta)
+    fph = jnp.where(augment, f_phi.at[slot].set(
+        phi0 - opt.gamma_phi * theta0), f_phi)
+    fcn = jnp.where(augment,
+                    jnp.minimum(f_count + 1, FILTER_SIZE - 1),
+                    f_count)
+
+    # -- restoration triggers --------------------------------------
+    # (a) line search failed; (b) theta stagnates far from
+    # feasibility; (c) duals blow up (degenerate subproblem)
+    stall = (theta0 > 1e3 * theta_min) & (theta0 > 0.9995 * theta_prev)
+    stall_count = jnp.where(accepted & stall,
+                            stall_count_prev + 1,
+                            jnp.asarray(0, jnp.int32))
+    y_blown = jnp.max(jnp.abs(y_n)) > 1e10
+    # A failed line search always leaves the regular branch — even
+    # near-feasible (theta0 <= theta_min), where Ipopt terminates or
+    # restores rather than spin with alpha = 0: the restoration
+    # branch then exits immediately, resetting the filter and
+    # recentering the multipliers (a soft restart), and rest_total
+    # caps how often that can recur.
+    enter_rest = (~accepted) | (((stall_count >= 25) | y_blown)
+                                & (theta0 > theta_min))
+    # on entry reset the equality multipliers (they are re-estimated
+    # after restoration)
+    y_n = jnp.where(enter_rest & y_blown, 0.0, y_n)
+
+    return (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, fth, fph, fcn,
+            enter_rest, alpha, stall_count)
+
+
+# ---------------------------------------------------------------------------
+# feasibility restoration (branch 2)
+# ---------------------------------------------------------------------------
+
+def restoration_branch(spec: Spec, fns, x, s, y, zL, zU, wL, wU,
+                       diag: Diag, ed: ElasticData, dx_gn, dy_gn,
+                       live, theta_now, theta_min, theta_max,
+                       mu, x_R, rest_lam, rest_theta, stall_count_prev,
+                       f_theta, f_phi, f_count):
+    """One elastic-restoration iteration from the shared merged solve
+    (dx_gn, dy_gn).  ``live`` gates the backtracking loops: lanes not
+    in restoration exit their while_loops immediately (trip counts are
+    max-over-lanes under vmap).  Falls back to steepest descent on the
+    same merit when the elastic Newton step fails.
+
+    Returns (x_r, s_r, y_n, zL_n, zU_n, wL_n, wU_n, fth, fph, fcn,
+    in_rest_next, lam_n, stall_r, rest_failed, mu_out, mu_R_n)."""
+    opt = spec.opt
+    dtype = x.dtype
+    mL, mU, msL, msU = spec.mL, spec.mU, spec.msL, spec.msU
+    fixed, eq = spec.fixed, spec.eq
+    rho_R, mu_R = ed.rho_R, ed.mu_R
+    dLx, dUx, dLs, dUs = diag.dLx, diag.dUx, diag.dLs, diag.dUs
+
+    def rest_merit(xt, st_):
+        """Elastic restoration merit at (xt, st_): smoothed-L1
+        infeasibility + prox + barrier terms, with (p, n)
+        re-eliminated in closed form.  Returns (merit, theta)."""
+        rt = fns.constraints(xt) - st_
+        St = jnp.sqrt((rho_R * rt) ** 2 + mu_R ** 2)
+        nt = (mu_R - rho_R * rt + St) / (2.0 * rho_R)
+        pt = nt + rt
+        slog = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
+        elas = (jnp.sum(rho_R * (pt + nt))
+                - mu_R * (slog(pt) + slog(nt)))
+        dL1 = jnp.where(mL, xt - spec.xl, 1.0)
+        dU1 = jnp.where(mU, spec.xu - xt, 1.0)
+        dL2 = jnp.where(msL, st_ - spec.cl, 1.0)
+        dU2 = jnp.where(msU, spec.cu - st_, 1.0)
+        okb = (jnp.all(dL1 > 0) & jnp.all(dU1 > 0)
+               & jnp.all(dL2 > 0) & jnp.all(dU2 > 0))
+        bar = -mu_R * (slog(dL1) + slog(dU1) + slog(dL2) + slog(dU2))
+        prox = 0.5 * ed.zeta_R * jnp.dot(ed.dR2 * (xt - x_R), xt - x_R)
+        theta_t = jnp.sum(jnp.abs(rt))
+        return jnp.where(okb, elas + bar + prox, jnp.inf), theta_t
+
+    dxr = jnp.where(fixed, 0.0, dx_gn)
+    dsr = jnp.where(eq, 0.0, ed.DsR * (dy_gn + ed.rhs_sR))
+    fin = jnp.all(jnp.isfinite(dxr)) & jnp.all(jnp.isfinite(dsr))
+    dxr = jnp.where(fin, dxr, 0.0)
+    dsr = jnp.where(fin, dsr, 0.0)
+
+    # merit at the current point, from already-known pieces
+    slog = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
+    M0 = (jnp.sum(rho_R * (ed.p_el + ed.n_el))
+          - mu_R * (slog(ed.p_el) + slog(ed.n_el))
+          - mu_R * (slog(dLx) + slog(dUx) + slog(dLs) + slog(dUs))
+          + 0.5 * ed.zeta_R * jnp.dot(ed.dR2 * (x - x_R), x - x_R))
+
+    tau_R = jnp.maximum(opt.tau_min, 1.0 - mu_R)
+
+    def ftb(dxx, dss):
+        return jnp.minimum(
+            jnp.minimum(ftb_alpha(dLx, dxx, mL, tau_R),
+                        ftb_alpha(dUx, -dxx, mU, tau_R)),
+            jnp.minimum(ftb_alpha(dLs, dss, msL, tau_R),
+                        ftb_alpha(dUs, -dss, msU, tau_R)))
+
+    def backtrack(dxx, dss, a0, gate):
+        def bt_cond(carry):
+            a, j, ok, Mt, th = carry
+            return (~ok) & (j < 15) & gate
+
+        def bt_body(carry):
+            a, j, _, _, _ = carry
+            Mt, th = rest_merit(x + a * dxx, s + a * dss)
+            ok = Mt <= M0 - 1e-12 * jnp.abs(M0)
+            return (jnp.where(ok, a, a * 0.5), j + 1, ok, Mt, th)
+
+        return jax.lax.while_loop(
+            bt_cond, bt_body,
+            (a0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             jnp.asarray(jnp.inf, dtype),
+             jnp.asarray(jnp.inf, dtype)))
+
+    a_el, _, red_el, _, th_el = backtrack(dxr, dsr, ftb(dxr, dsr), live)
+    use_el = fin & red_el
+
+    # steepest-descent fallback on the same merit (its exact negative
+    # gradient is the residual pair below)
+    dx_c = ed.rx_rest
+    ds_c = jnp.where(eq, 0.0, ed.rhs_sR)
+    scale_c = 1.0 / jnp.maximum(
+        1.0, jnp.maximum(jnp.max(jnp.abs(dx_c)),
+                         jnp.max(jnp.abs(ds_c))))
+    dx_c = dx_c * scale_c
+    ds_c = ds_c * scale_c
+    # under vmap the trip count is max-over-lanes: only lanes whose
+    # elastic Newton step failed to reduce the merit pay for the
+    # steepest-descent fallback search
+    a_c, _, red_c, _, th_c = backtrack(dx_c, ds_c, ftb(dx_c, ds_c),
+                                       live & ~use_el)
+
+    a_use = jnp.where(use_el, a_el, a_c)
+    dx_use = jnp.where(use_el, dxr, dx_c)
+    ds_use = jnp.where(use_el, dsr, ds_c)
+    reduced = use_el | red_c
+    x_r = jnp.where(reduced, x + a_use * dx_use, x)
+    s_r = jnp.where(reduced, s + a_use * ds_use, s)
+    theta_r = jnp.where(use_el, th_el,
+                        jnp.where(red_c, th_c, theta_now))
+
+    # prox-weight adaptation (LM-like) on the elastic step
+    lam_n = jnp.where(use_el & (a_el > 0.9),
+                      jnp.maximum(rest_lam / 3.0, 1.0),
+                      jnp.where(use_el, rest_lam,
+                                jnp.minimum(rest_lam * 10.0, 1e6)))
+    # first-order certificate of the feasibility problem: the
+    # gradient of 0.5||c - s||^2 (distinguishes genuine local
+    # infeasibility from slow restoration progress)
+    gx = jnp.where(fixed, 0.0, ed.vjp_x(ed.r_rest)[0])
+    gs = jnp.where(eq, 0.0, -ed.r_rest)
+    feas_grad = jnp.sqrt(jnp.dot(gx, gx) + jnp.dot(gs, gs))
+
+    # -- exit policy -----------------------------------------------
+    # local-infeasibility certificate: the feasibility problem is
+    # first-order stationary at theta > 0
+    certified = (feas_grad <= 1e-6 * jnp.maximum(1.0, theta_r)) \
+        & (theta_r > theta_min)
+    # stalled progress at the current smoothing first SHARPENS the
+    # elastic L1 (mu_R x0.2 toward its floor); only a stall at the
+    # floor counts toward the stuck exit
+    no_prog = theta_r > 0.999 * theta_now
+    mu_floor = jnp.maximum(mu, opt.tol)
+    sharpen = no_prog & (mu_R > 1.001 * mu_floor)
+    mu_R_n = jnp.where(sharpen,
+                       jnp.maximum(0.2 * mu_R, mu_floor), mu_R)
+    stall_r = jnp.where(no_prog & ~sharpen, stall_count_prev + 1,
+                        jnp.asarray(0, jnp.int32))
+    stuck = ((~reduced) & ~sharpen) | (stall_r >= 10)
+    # exit on success, or force exit back to the IPM when restoration
+    # stalls without an infeasibility certificate
+    exit_now = ((theta_r <= jnp.maximum(
+        opt.rest_reduction * rest_theta, theta_min))
+        | (theta_r <= opt.tol)
+        | (stuck & ~certified))
+    rest_failed = stuck & certified
+    # mu kick: the GN restoration stalled far from feasibility
+    # WITHOUT an infeasibility certificate — the regular barrier
+    # problem is wedged (observed: tiny filter steps at mu = 0.1
+    # ping-pong with stalled restoration until the budget dies, while
+    # the same problem solves cleanly from mu = 1).  Re-center on a
+    # stronger barrier before handing control back — the analog of
+    # Ipopt's restoration-phase mu re-initialization.  Never fires
+    # near feasibility, so warm-started solves keep their tiny mu.
+    kick = stuck & ~certified & (theta_r > 1e2 * theta_min)
+    mu_out = jnp.where(kick, jnp.minimum(10.0 * mu, 10.0), mu)
+
+    dLx_e = jnp.where(mL, x_r - spec.xl, 1.0)
+    dUx_e = jnp.where(mU, spec.xu - x_r, 1.0)
+    dLs_e = jnp.where(msL, s_r - spec.cl, 1.0)
+    dUs_e = jnp.where(msU, spec.cu - s_r, 1.0)
+    # exit: reset equality multipliers, recenter bound duals
+    y_n = jnp.where(exit_now, 0.0, y)
+    zL_n = jnp.where(exit_now, jnp.where(mL, mu_out / dLx_e, 0.0), zL)
+    zU_n = jnp.where(exit_now, jnp.where(mU, mu_out / dUx_e, 0.0), zU)
+    wL_n = jnp.where(exit_now, jnp.where(msL, mu_out / dLs_e, 0.0), wL)
+    wU_n = jnp.where(exit_now, jnp.where(msU, mu_out / dUs_e, 0.0), wU)
+
+    ftf, fpf, fcf = fresh_filter(theta_max, dtype)
+    # Cap the re-admitted infeasibility at a multiple of the restored
+    # level: a bare (theta_max, -inf) filter lets the next
+    # phi-improving steps blow theta right back up (observed: theta
+    # 44 -> 3.8e4 in four accepted steps on the 9-link chain), which
+    # defeats the restoration.
+    cap = jnp.minimum(jnp.maximum(10.0 * theta_r, 1e2 * theta_min),
+                      theta_max)
+    ftf = ftf.at[1].set(cap)
+    fpf = fpf.at[1].set(-jnp.inf)
+    fcf = jnp.asarray(2, jnp.int32)
+    fth = jnp.where(exit_now, ftf, f_theta)
+    fph = jnp.where(exit_now, fpf, f_phi)
+    fcn = jnp.where(exit_now, fcf, f_count)
+
+    in_rest_next = ~exit_now
+    return (x_r, s_r, y_n, zL_n, zU_n, wL_n, wU_n, fth, fph, fcn,
+            in_rest_next, lam_n, stall_r, rest_failed, mu_out, mu_R_n)
