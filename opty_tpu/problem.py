@@ -586,6 +586,10 @@ class Problem:
             'iterations': int(res.iterations),
             'inf_pr': float(res.inf_pr),
             'inf_du': float(res.inf_du),
+            # tail-diagnosis telemetry (see IPMResult)
+            'rest_iterations': int(res.rest_total),
+            'mono_fallback': bool(res.mono),
+            'delta_w': float(res.delta_w),
         }
         return x, info
 
