@@ -98,9 +98,15 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
     if factor_dtype is None:
         factor_dtype = default_factor_dtype()
     if refine_steps is None:
-        # mixed-precision factorization needs more refinement rounds
+        # Mixed-precision factorization needs more refinement rounds.
+        # Measured (round 4, pendulum N=501 hard-tail block, f32 cr):
+        # 3 rounds -> direction quality degrades the whole solve
+        # (mean 130 iters, 2/32 failures); 6 rounds recovers
+        # f64-factorization iteration counts (mean 46.0 vs 43.1,
+        # 32/32) — each round is one f64 matvec, far cheaper than the
+        # 3x iteration inflation it prevents.
         refine_steps = 1 if jnp.dtype(factor_dtype) == jnp.dtype(dtype) \
-            else 3
+            else 6
     if kkt_method is None:
         kkt_method = default_kkt_method()
 

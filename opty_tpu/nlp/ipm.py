@@ -386,8 +386,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         # below where the duals are).
         fresh_entry = in_rest & ~st.in_rest
         if adaptive:
-            free_stall, fall_now = steps.stall_fallback(
-                spec, st.mono, in_rest, alpha, E0, st.E_last,
+            free_stall, fall_now, E_best = steps.stall_fallback(
+                spec, st.mono, in_rest, alpha, E0, st.E_best,
                 st.free_stall)
             comp_avg = steps.complementarity_average(
                 spec, x_n, s_n, zL_n, zU_n, wL_n, wU_n)
@@ -401,6 +401,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             mono_next = st.mono | fresh_entry | fall_now
         else:
             free_stall = st.free_stall
+            E_best = st.E_best
             mono_next = st.mono | fresh_entry
 
         bad = ~(jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(y_n))
@@ -457,7 +458,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             # adaptive-mode globalization: a lane whose line search
             # failed (restoration entry) or whose progress stalled
             # walks the monotone ladder for the rest of its solve
-            mono=mono_next, free_stall=free_stall,
+            mono=mono_next, free_stall=free_stall, E_best=E_best,
             it=st.it + 1, status=status, done=done,
             accept_count=accept_count,
             obj_history=obj_history, inf_pr=inf_pr, inf_du=inf_du,
@@ -493,6 +494,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         theta_min=theta_min_init, theta_max=theta_max_init,
         mono=jnp.asarray(False),
         free_stall=jnp.asarray(0, jnp.int32),
+        E_best=jnp.asarray(jnp.inf, dtype),
         g=g_i, c=c_i, Jty=Jty_i,
         x_R=x_init, mu_R=jnp.asarray(opt.mu_init, dtype))
     if resume_state is not None:

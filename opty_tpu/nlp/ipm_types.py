@@ -175,6 +175,7 @@ class IPMState(NamedTuple):
     theta_max: jnp.ndarray    # carried so solves can resume from state)
     mono: jnp.ndarray         # adaptive-mu lane fell back to monotone
     free_stall: jnp.ndarray   # consecutive no-progress probing iters
+    E_best: jnp.ndarray       # running best optimality error (stall ref)
     it: jnp.ndarray
     status: jnp.ndarray
     done: jnp.ndarray

@@ -203,25 +203,32 @@ def complementarity_average(spec: Spec, x, s, zL, zU, wL, wU):
     return comp / spec.n_comp
 
 
-def stall_fallback(spec: Spec, mono, in_rest, alpha, E_new, E_old,
+def stall_fallback(spec: Spec, mono, in_rest, alpha, E_new, E_best,
                    free_stall):
     """Adaptive-mode stall detector (the round-3 hard-tail fix).
 
     A free (probing) lane that keeps being *accepted* but makes no
     real progress — step fraction below stall_alpha, or optimality
-    error not improving by at least (1 - stall_ratio) — never fails
-    its line search, so the restoration-entry fallback (Ipopt's
-    adaptive globalization trigger) can never fire.  Count such
-    iterations; at stall_window consecutive ones the lane falls back
-    to the monotone ladder.  Returns (free_stall_next, fall_now)."""
+    error not beating its RUNNING BEST by at least (1 - stall_ratio)
+    — never fails its line search, so the restoration-entry fallback
+    (Ipopt's adaptive globalization trigger) can never fire.  Count
+    such iterations; at stall_window consecutive ones the lane falls
+    back to the monotone ladder.
+
+    Comparing against the windowed best ``E_best`` rather than the
+    previous iteration's E catches oscillating lanes (E bouncing a
+    few percent around a plateau resets a previous-E comparison every
+    other iteration and never triggers).
+
+    Returns (free_stall_next, fall_now, E_best_next)."""
     opt = spec.opt
     slow = ((~mono) & (~in_rest)
             & ((alpha < opt.stall_alpha)
-               | (E_new > opt.stall_ratio * E_old)))
+               | (E_new > opt.stall_ratio * E_best)))
     free_stall_next = jnp.where(slow, free_stall + 1,
                                 jnp.asarray(0, jnp.int32))
     fall_now = (~mono) & (free_stall_next >= opt.stall_window)
-    return free_stall_next, fall_now
+    return free_stall_next, fall_now, jnp.minimum(E_best, E_new)
 
 
 # ---------------------------------------------------------------------------

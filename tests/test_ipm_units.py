@@ -48,14 +48,13 @@ class TestStallFallback:
         mono = jnp.asarray(False)
         in_rest = jnp.asarray(False)
         count = jnp.asarray(0, jnp.int32)
-        E_prev = jnp.asarray(np.inf)
+        E_best = jnp.asarray(np.inf)
         for i, (a, E) in enumerate(zip(alphas, Es)):
-            count, fall = steps.stall_fallback(
+            count, fall, E_best = steps.stall_fallback(
                 spec, mono, in_rest, jnp.asarray(a), jnp.asarray(E),
-                E_prev, count)
+                E_best, count)
             if bool(fall):
                 return i, int(count)
-            E_prev = jnp.asarray(E)
         return None, int(count)
 
     def test_tiny_accepted_steps_trigger_fallback(self):
@@ -100,14 +99,26 @@ class TestStallFallback:
         fall_at, _ = self._run(spec, alphas, Es)
         assert fall_at is None
 
+    def test_oscillating_plateau_triggers(self):
+        """E bouncing a few percent around a plateau: a previous-E
+        comparison would reset on every downtick, the windowed-best
+        comparison must not (the TPU f32 failure mode: lanes hover
+        with small oscillations and never fall back)."""
+        spec = _spec()
+        alphas = [1.0] * 30
+        Es = [3.0 * (1.0 + 0.02 * (-1) ** i) for i in range(30)]
+        fall_at, _ = self._run(spec, alphas, Es)
+        assert fall_at is not None
+        assert fall_at <= 2 * spec.opt.stall_window
+
     def test_monotone_and_restoration_lanes_exempt(self):
         spec = _spec()
-        c, f = steps.stall_fallback(
+        c, f, _ = steps.stall_fallback(
             spec, jnp.asarray(True), jnp.asarray(False),
             jnp.asarray(1e-4), jnp.asarray(1.0), jnp.asarray(1.0),
             jnp.asarray(100, jnp.int32))
         assert not bool(f)
-        c, f = steps.stall_fallback(
+        c, f, _ = steps.stall_fallback(
             spec, jnp.asarray(False), jnp.asarray(True),
             jnp.asarray(1e-4), jnp.asarray(1.0), jnp.asarray(1.0),
             jnp.asarray(100, jnp.int32))
