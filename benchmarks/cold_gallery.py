@@ -193,6 +193,9 @@ def run_port(name):
     mod = __import__(module)
     out = mod.build_problem(**kwargs)
     prob, csv_path = out if isinstance(out, tuple) else (out, None)
+    if not isinstance(csv_path, (str, type(None))):
+        # some ports return (prob, guess_array) instead of a CSV path
+        csv_path = None
     N = prob.collocator.num_collocation_nodes
     guess = guess_fn(prob, N)
     assert guess.shape == (prob.num_free,), \

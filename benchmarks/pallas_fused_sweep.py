@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Fused-Pallas PCR batch sweep (round-3 judge ask #2).
+
+Measures the batched bordered-block-tridiagonal factor+solve
+(ops/tridiag.pcr_factor / pcr_solve) at collocation-bench shapes
+(d = 5, b = 4, N = 501 — the pendulum N=501 KKT) across vmapped batch
+sizes, with the fused Pallas kernels ON vs OFF (jnp fallback), on the
+current backend.  The round-3 motivation numbers (25.5 ms at batch 128
+vs 1.6 ms at 16 for the jnp path) had no "after" measurement; this
+harness records it.
+
+Run on TPU:  python benchmarks/pallas_fused_sweep.py
+Prints one JSON line per (batch, fused) configuration.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
+def bench(fn, args, iters=20):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import opty_tpu  # noqa: F401
+    from opty_tpu.ops import tridiag
+
+    d, b, N = 5, 4, 501
+    rng = np.random.default_rng(0)
+
+    def system(B):
+        D = rng.standard_normal((B, d, d, N)) + 6.0 * np.eye(d)[:, :, None]
+        E = 0.3 * rng.standard_normal((B, d, d, N))
+        E[..., 0] = 0.0
+        F = 0.1 * rng.standard_normal((B, d, b, N))
+        Kbb = rng.standard_normal((B, b, b)) + 6.0 * np.eye(b)
+        r = rng.standard_normal((B, d, N))
+        rb = rng.standard_normal((B, b))
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        return tuple(map(f32, (D, E, F, Kbb, r, rb)))
+
+    def factor_solve(D, E, F, Kbb, r, rb):
+        fac = tridiag.pcr_factor(D, E, F, Kbb)
+        return tridiag.pcr_solve(fac, r, rb)
+
+    vmapped = jax.jit(jax.vmap(factor_solve))
+
+    results = []
+    for B in (16, 32, 64, 128):
+        args = system(B)
+        for fused in (False, True):
+            if fused:
+                os.environ.pop('OPTY_TPU_NO_FUSED_PCR', None)
+            else:
+                os.environ['OPTY_TPU_NO_FUSED_PCR'] = '1'
+            # env is read at trace time inside fused_supported: force a
+            # fresh trace per configuration
+            fn = jax.jit(jax.vmap(factor_solve))
+            t = bench(fn, args)
+            rec = {'metric': 'pcr_factor_solve_ms', 'batch': B,
+                   'd': d, 'b': b, 'N': N, 'fused': fused,
+                   'ms': round(t * 1e3, 3),
+                   'ms_per_instance': round(t * 1e3 / B, 4),
+                   'backend': jax.default_backend()}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    # summary: per-batch speedup fused vs jnp
+    for B in (16, 32, 64, 128):
+        off = next(r for r in results if r['batch'] == B and not r['fused'])
+        on = next(r for r in results if r['batch'] == B and r['fused'])
+        print(json.dumps({'metric': 'fused_speedup', 'batch': B,
+                          'speedup': round(off['ms'] / on['ms'], 2)}),
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()
