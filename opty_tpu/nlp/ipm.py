@@ -330,7 +330,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 spec, fns, x, s, y, zL, zU, wL, wU, diag, ed,
                 dx_gn, dy_gn, st.in_rest, theta_now, theta_min,
                 theta_max, mu, st.x_R, st.rest_lam, st.rest_theta,
-                st.stall_count, f_theta, f_phi, f_count)
+                st.stall_count, st.rest_visit, f_theta, f_phi, f_count)
             return (x_r, s_r, y_n, zL_n, zU_n, wL_n, wU_n,
                     fth, fph, fcn, in_rest_next, st.rest_theta,
                     lam_n, st.delta_w, st.delta_c,
@@ -452,6 +452,11 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             mu=mu, delta_w=delta_w, delta_c=delta_c,
             f_theta=f_theta_n, f_phi=f_phi_n, f_count=f_count_n,
             in_rest=in_rest, rest_theta=rest_theta, rest_total=rest_total,
+            # per-visit counter: counts completed iterations of the
+            # current restoration visit, 0 outside restoration
+            rest_visit=jnp.where(in_rest, jnp.where(
+                st.in_rest, st.rest_visit + 1, jnp.asarray(0, jnp.int32)),
+                jnp.asarray(0, jnp.int32)),
             rest_lam=rest_lam_n, theta_prev=theta_now,
             stall_count=stall_count,
             theta_min=theta_min, theta_max=theta_max,
@@ -478,6 +483,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         in_rest=jnp.asarray(False),
         rest_theta=jnp.asarray(0.0, dtype),
         rest_total=jnp.asarray(0, jnp.int32),
+        rest_visit=jnp.asarray(0, jnp.int32),
         rest_lam=jnp.asarray(1.0, dtype),
         theta_prev=jnp.asarray(jnp.inf, dtype),
         stall_count=jnp.asarray(0, jnp.int32),

@@ -66,6 +66,16 @@ class IPMOptions(NamedTuple):
     # restoration
     rest_reduction: float = 0.1    # exit when theta <= this * entry theta
     max_rest_iters: int = 80       # cumulative restoration iterations
+    # Time-box for ONE restoration visit: a visit that has not reached
+    # its exit threshold after this many iterations is handed back to
+    # the regular phase (with the mu re-centering kick when far from
+    # feasibility) instead of crawling the whole cumulative budget
+    # away.  Observed (round-4 cold-solve campaign): restorations that
+    # reduce theta 1-3% per iteration are "progressing" by every local
+    # test yet exhaust max_rest_iters without reaching the 10x
+    # reduction; the regular phase restarted from the partially
+    # restored point with a stronger barrier does better.
+    max_rest_visit: int = 25
     s_max: float = 100.0
     # Ipopt's bound_relax_factor: all bounds are relaxed internally by
     # this relative amount.  Essential for the (common) degenerate
@@ -168,6 +178,7 @@ class IPMState(NamedTuple):
     in_rest: jnp.ndarray      # restoration mode flag
     rest_theta: jnp.ndarray   # theta at restoration entry
     rest_total: jnp.ndarray   # cumulative restoration iterations
+    rest_visit: jnp.ndarray   # iterations in the CURRENT visit
     rest_lam: jnp.ndarray     # LM damping of the restoration GN step
     theta_prev: jnp.ndarray   # previous-iteration theta (stall detection)
     stall_count: jnp.ndarray

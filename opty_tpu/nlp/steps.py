@@ -801,7 +801,7 @@ def restoration_branch(spec: Spec, fns, x, s, y, zL, zU, wL, wU,
                        diag: Diag, ed: ElasticData, dx_gn, dy_gn,
                        live, theta_now, theta_min, theta_max,
                        mu, x_R, rest_lam, rest_theta, stall_count_prev,
-                       f_theta, f_phi, f_count):
+                       rest_visit, f_theta, f_phi, f_count):
     """One elastic-restoration iteration from the shared merged solve
     (dx_gn, dy_gn).  ``live`` gates the backtracking loops: lanes not
     in restoration exit their while_loops immediately (trip counts are
@@ -933,12 +933,20 @@ def restoration_branch(spec: Spec, fns, x, s, y, zL, zU, wL, wU,
     stall_r = jnp.where(no_prog & ~sharpen, stall_count_prev + 1,
                         jnp.asarray(0, jnp.int32))
     stuck = ((~reduced) & ~sharpen) | (stall_r >= 10)
+    # Time-boxed visit: a restoration that keeps "progressing" at a
+    # few percent per iteration passes every local test yet would
+    # crawl the whole cumulative budget away without reaching the 10x
+    # reduction exit; after max_rest_visit iterations hand control
+    # back to the regular phase (with the mu kick below when still far
+    # from feasibility) instead.
+    timed_out = (rest_visit + 1 >= opt.max_rest_visit) & ~certified
     # exit on success, or force exit back to the IPM when restoration
     # stalls without an infeasibility certificate
     exit_now = ((theta_r <= jnp.maximum(
         opt.rest_reduction * rest_theta, theta_min))
         | (theta_r <= opt.tol)
-        | (stuck & ~certified))
+        | (stuck & ~certified)
+        | timed_out)
     rest_failed = stuck & certified
     # mu kick: the GN restoration stalled far from feasibility
     # WITHOUT an infeasibility certificate — the regular barrier
@@ -948,7 +956,7 @@ def restoration_branch(spec: Spec, fns, x, s, y, zL, zU, wL, wU,
     # stronger barrier before handing control back — the analog of
     # Ipopt's restoration-phase mu re-initialization.  Never fires
     # near feasibility, so warm-started solves keep their tiny mu.
-    kick = stuck & ~certified & (theta_r > 1e2 * theta_min)
+    kick = (stuck | timed_out) & ~certified & (theta_r > 1e2 * theta_min)
     mu_out = jnp.where(kick, jnp.minimum(10.0 * mu, 10.0), mu)
 
     dLx_e = jnp.where(mL, x_r - spec.xl, 1.0)
