@@ -309,6 +309,56 @@ def test_regularized_direction_escalates_on_negative_curvature():
 
 
 # ---------------------------------------------------------------------------
+# restoration exit policy
+# ---------------------------------------------------------------------------
+
+def test_restoration_visit_time_box():
+    """A restoration visit at the max_rest_visit budget must exit back
+    to the regular phase (with the mu kick when far from feasibility)
+    even while still making slow local progress."""
+    def obj(x):
+        return jnp.sum(x)
+
+    def con(x):
+        return jnp.asarray([x[0] ** 2 + 1.0])   # infeasible: c = 0 hard
+
+    fns = make_nlp_functions_dense(obj, con)
+    spec = _spec(n=1, m=1, xl=[-10.0], xu=[10.0], cl=[0.0], cu=[0.0])
+    dtype = jnp.float64
+    x = jnp.asarray([2.0])
+    s = jnp.zeros(1)
+    y = jnp.zeros(1)
+    z0 = jnp.zeros(1)
+    diag = steps.barrier_diagonals(spec, x, s, z0, z0, z0, z0)
+    c = con(x)
+    mu = jnp.asarray(0.1, dtype)
+    ed = steps.elastic_data(spec, fns, x, s, c, diag, x,
+                            jnp.asarray(1.0, dtype),
+                            jnp.asarray(1.0, dtype))
+    ft, fp, fc = steps.fresh_filter(jnp.asarray(1e4, dtype), dtype)
+    common = dict(theta_now=jnp.sum(jnp.abs(c - s)),
+                  theta_min=jnp.asarray(1e-6, dtype),
+                  theta_max=jnp.asarray(1e4, dtype))
+    args = (spec, fns, x, s, y, z0, z0, z0, z0, diag, ed,
+            jnp.zeros(1), jnp.zeros(1), jnp.asarray(True),
+            common['theta_now'], common['theta_min'],
+            common['theta_max'], mu, x, jnp.asarray(1.0, dtype),
+            jnp.asarray(5.0, dtype), jnp.asarray(0, jnp.int32))
+    w = spec.opt.max_rest_visit
+    # visit counter below the box: restoration continues
+    out = steps.restoration_branch(*args, jnp.asarray(0, jnp.int32),
+                                   ft, fp, fc)
+    in_rest_next = out[10]
+    assert bool(in_rest_next)
+    # visit counter at the box: forced exit with mu kicked up
+    out = steps.restoration_branch(*args, jnp.asarray(w, jnp.int32),
+                                   ft, fp, fc)
+    in_rest_next, mu_out = out[10], out[14]
+    assert not bool(in_rest_next)
+    assert float(mu_out) > float(mu)
+
+
+# ---------------------------------------------------------------------------
 # filter line search
 # ---------------------------------------------------------------------------
 
