@@ -432,8 +432,13 @@ def regularized_direction(spec: Spec, fns, x, y, prep, gn,
         # need no Hessian damping).
         was_zero = delta_w_prev == 0.0
         good_step = alpha_last >= 0.9
-        bad_step = (alpha_last > 0.0) & (alpha_last < 1e-2)
         improving = E_last < 0.99 * E_prev
+        # tiny accepted steps push dw up ONLY when the error is not
+        # falling: growing dw during slow-but-real progress compounds
+        # (x8 per iteration) into gradient-descent-speed crawls
+        # (observed: car_around_pylons pinned dw at 7e4 and needed
+        # 3000 iterations for a problem it can solve in ~600)
+        bad_step = (alpha_last > 0.0) & (alpha_last < 1e-2) & ~improving
         freeze = (accept_count > 0) & ~improving
         first_retry = jnp.where(
             freeze & ~was_zero, delta_w_prev,
