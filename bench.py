@@ -54,13 +54,18 @@ def main():
     log('devices:', jax.devices())
 
     num_nodes = int(os.environ.get('BENCH_NODES', '501'))
-    # measured sweet spot on v5e: 16 lanes (1.57/s) > 32 (1.24) >
-    # 64 (1.10) > 128 (0.76) — per-iteration time grows near-linearly
-    # with batch above ~16, so small batches win on solves/s
+    # Round-4 measurements on v5e: per-LANE-iteration cost is flat in
+    # batch (0.75 ms at 16 lanes, 0.77 at 64 — the phase profile is
+    # bandwidth-bound, benchmarks/iter_profile.py), so batch size does
+    # not move solves/s (18.0 at batch 16 vs 17.7 at 64); 16 keeps
+    # latency low.  The chunk size DOES: host-sync overhead vs
+    # retired-lane idle trades off at ~20 iterations/chunk (sweep:
+    # chunk 8 -> 17.2/s, 12 -> 18.0, 16 -> 18.9, 20 -> 19.9,
+    # 24 -> 19.7; CHUNK_SWEEP_r04.json).
     batch = int(os.environ.get('BENCH_BATCH', '16'))
     queue_len = int(os.environ.get('BENCH_QUEUE', str(max(128, 3 * batch))))
     max_iter = int(os.environ.get('BENCH_MAXITER', '200'))
-    chunk = int(os.environ.get('BENCH_CHUNK', '12'))
+    chunk = int(os.environ.get('BENCH_CHUNK', '20'))
     kkt_method = os.environ.get('BENCH_KKT', 'cr')
 
     prob = swing_up_problem(num_nodes=num_nodes)
