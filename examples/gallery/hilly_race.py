@@ -17,6 +17,13 @@ condition ``v(0) = 0``, and the minimum-time objective interacts with
 that singular row; our filter IPM currently makes slow progress on the
 duration (the C17 implicit-data machinery itself is oracle-tested in
 tests/test_implicit_traj.py and tests/test_gallery_parity.py).
+Round-4 diagnosis (see COVERAGE.md "Known limitations"): the regular
+phase grinds with tiny accepted steps while the equality multipliers
+blow up (|y| -> 1e8 with theta ~ 3e3), then restoration cycles its
+budget away; measured-and-rejected remedies this round were
+exact-Hessian elastic restoration (worse on this stiff family) and
+dual step caps (no effect).  The structural remedy is an Ipopt-grade
+restoration phase (its own filter + multiple inner iterations).
 
 Run:  python examples/gallery/hilly_race.py
 """
