@@ -100,6 +100,18 @@ class IPMOptions(NamedTuple):
     stall_alpha: float = 1e-2
     stall_ratio: float = 0.99
     stall_window: int = 8
+    # Second-order correction (Ipopt A-5.7).  Static config: under
+    # vmap BOTH lax.cond branches execute every iteration, so the SOC
+    # re-solve + its trial evaluation are a per-iteration tax on every
+    # lane whether or not any lane wants a correction.  Default OFF:
+    # measured round 4, disabling it REDUCED iteration counts
+    # everywhere tried (hard-tail queue mean 46.1 -> 42.5 and max
+    # 157 -> 70 at f32-cr; cold sliding_block 220 -> 118 iterations
+    # with restoration use down 74 -> 13) — the correction was
+    # accepting short theta-reducing steps that wander — on top of
+    # removing the per-iteration tax.  Set True for Ipopt's exact
+    # acceptance behavior.
+    use_soc: bool = False
     debug: bool = False  # python-loop execution with per-iter printout
     trace: bool = False  # jax.debug.print per-iteration trace (jit-safe)
 

@@ -698,17 +698,25 @@ def filter_line_search(spec: Spec, fns, x, s, y, zL, zU, wL, wU,
         return (jnp.zeros_like(dx), jnp.zeros_like(dy),
                 jnp.zeros_like(ds), jnp.asarray(False))
 
-    want_soc = (~acc1) & (theta_t1 >= theta0) & ~dir_bad
-    dx_soc, dy_soc, ds_soc, soc_fin = jax.lax.cond(
-        want_soc, soc_branch, no_soc, operand=None)
+    if opt.use_soc:
+        want_soc = (~acc1) & (theta_t1 >= theta0) & ~dir_bad
+        dx_soc, dy_soc, ds_soc, soc_fin = jax.lax.cond(
+            want_soc, soc_branch, no_soc, operand=None)
 
-    a_soc = jnp.minimum(
-        jnp.minimum(ftb_alpha(dLx, dx_soc, mL, tau),
-                    ftb_alpha(dUx, -dx_soc, mU, tau)),
-        jnp.minimum(ftb_alpha(dLs, ds_soc, msL, tau),
-                    ftb_alpha(dUs, -ds_soc, msU, tau)))
-    acc_soc, ftype_soc = try_dir(a_soc, dx_soc, ds_soc)
-    acc_soc = acc_soc & soc_fin & want_soc
+        a_soc = jnp.minimum(
+            jnp.minimum(ftb_alpha(dLx, dx_soc, mL, tau),
+                        ftb_alpha(dUx, -dx_soc, mU, tau)),
+            jnp.minimum(ftb_alpha(dLs, ds_soc, msL, tau),
+                        ftb_alpha(dUs, -ds_soc, msU, tau)))
+        acc_soc, ftype_soc = try_dir(a_soc, dx_soc, ds_soc)
+        acc_soc = acc_soc & soc_fin & want_soc
+    else:
+        dx_soc = jnp.zeros_like(dx)
+        dy_soc = jnp.zeros_like(dy)
+        ds_soc = jnp.zeros_like(ds)
+        a_soc = jnp.asarray(0.0, dtype)
+        acc_soc = jnp.asarray(False)
+        ftype_soc = jnp.asarray(False)
 
     # -- backtracking fallback -------------------------------------
     def ls_cond(carry):
