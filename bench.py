@@ -69,8 +69,13 @@ def main():
     kkt_method = os.environ.get('BENCH_KKT', 'cr')
 
     prob = swing_up_problem(num_nodes=num_nodes)
+    # use_soc=False: measured better for cold batched throughput on
+    # this problem family (fewer AND cheaper iterations — 19.9 ->
+    # 21.2 solves/s, mean 44.8 -> 42.7, max 116 -> 101, still
+    # 128/128 at tol 1e-8); warm-started endgames keep the default
+    # True (see IPMOptions.use_soc).
     prob.set_solver_options(max_iter=max_iter, chunk_iters=chunk,
-                            kkt_method=kkt_method)
+                            kkt_method=kkt_method, use_soc=False)
 
     rng = np.random.default_rng(7)
     queue = rng.standard_normal((queue_len, prob.num_free))

@@ -103,15 +103,15 @@ class IPMOptions(NamedTuple):
     # Second-order correction (Ipopt A-5.7).  Static config: under
     # vmap BOTH lax.cond branches execute every iteration, so the SOC
     # re-solve + its trial evaluation are a per-iteration tax on every
-    # lane whether or not any lane wants a correction.  Default OFF:
-    # measured round 4, disabling it REDUCED iteration counts
-    # everywhere tried (hard-tail queue mean 46.1 -> 42.5 and max
-    # 157 -> 70 at f32-cr; cold sliding_block 220 -> 118 iterations
-    # with restoration use down 74 -> 13) — the correction was
-    # accepting short theta-reducing steps that wander — on top of
-    # removing the per-iteration tax.  Set True for Ipopt's exact
-    # acceptance behavior.
-    use_soc: bool = False
+    # lane whether or not any lane wants a correction.  Round-4
+    # measurements cut both ways: on COLD batched solves disabling it
+    # reduced iteration counts (hard-tail queue mean 46.1 -> 42.5, max
+    # 157 -> 70; cold sliding_block 220 -> 118 iterations) on top of
+    # removing the tax — but warm-started tight-tolerance endgames
+    # (CSV certifications, multi-start to status 0) NEED it, its
+    # classic Maratos-avoidance role.  Default True = Ipopt behavior;
+    # throughput workloads (bench.py) set False.
+    use_soc: bool = True
     debug: bool = False  # python-loop execution with per-iter printout
     trace: bool = False  # jax.debug.print per-iteration trace (jit-safe)
 
