@@ -144,6 +144,30 @@ def main():
     # round-3 weak #2) — dropped.  The honest comparison is the
     # assembled 40-iteration Ipopt-proxy figure, full stop.
     extra['baseline_assembled_40it_solves_per_s'] = BASELINE_SOLVES_PER_S
+    # BASELINE.json's second metric (gait-scale wall-time-to-tol) is a
+    # multi-minute symbolic build + solve, too slow to re-measure on
+    # every bench invocation; surface this round's committed on-chip
+    # measurement (benchmarks/gait_scale.py -> GAIT_SCALE_TPU_r04.json)
+    # so the driver artifact carries both BASELINE.json rows.
+    here = os.path.dirname(os.path.abspath(__file__))
+    for gait_name in ('GAIT_SCALE_TPU_r04.json', 'GAIT_SCALE_CPU_r04.json'):
+        try:
+            with open(os.path.join(here, gait_name)) as f:
+                gait = json.load(f)
+            extra['gait_scale'] = {
+                'metric': gait['metric'], 'value': gait['value'],
+                'unit': gait['unit'],
+                'platform': gait.get('platform', 'unknown'),
+                'status': gait['extra']['status'],
+                'iterations': gait['extra']['iterations'],
+                'first_solve_incl_compile_s':
+                    gait['extra']['first_solve_incl_compile_s'],
+                'source': gait_name + ' (measured this round, '
+                          'not re-run here)',
+            }
+            break
+        except (OSError, KeyError, ValueError):
+            continue
     out = {'metric': METRIC, 'value': round(solves_per_s, 4),
            'unit': 'solves/s',
            'vs_baseline': round(solves_per_s / BASELINE_SOLVES_PER_S, 3),

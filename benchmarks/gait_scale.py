@@ -57,11 +57,13 @@ def main():
     sol2, info2 = prob.solve(guess)
     t_warm = time.time() - t0
 
+    import jax
     out = {
         'metric': 'nlink{}_gait_scale_walltime_to_tol_s'.format(
             args.links),
         'value': round(t_warm, 2),
         'unit': 's',
+        'platform': jax.default_backend(),
         'extra': {
             'links': args.links, 'nodes': args.nodes,
             'states': prob.collocator.num_states,
