@@ -146,11 +146,13 @@ def main():
     extra['baseline_assembled_40it_solves_per_s'] = BASELINE_SOLVES_PER_S
     # BASELINE.json's second metric (gait-scale wall-time-to-tol) is a
     # multi-minute symbolic build + solve, too slow to re-measure on
-    # every bench invocation; surface this round's committed on-chip
-    # measurement (benchmarks/gait_scale.py -> GAIT_SCALE_TPU_r04.json)
-    # so the driver artifact carries both BASELINE.json rows.
+    # every bench invocation; surface the committed measurement
+    # (benchmarks/gait_scale.py), preferring a TPU artifact if one
+    # exists and falling back to the CPU measurement otherwise, so the
+    # driver artifact carries both BASELINE.json rows.
     here = os.path.dirname(os.path.abspath(__file__))
-    for gait_name in ('GAIT_SCALE_TPU_r04.json', 'GAIT_SCALE_CPU_r04.json'):
+    for gait_name in ('GAIT_SCALE_TPU_r05.json', 'GAIT_SCALE_CPU_r05.json',
+                      'GAIT_SCALE_TPU_r04.json', 'GAIT_SCALE_CPU_r04.json'):
         try:
             with open(os.path.join(here, gait_name)) as f:
                 gait = json.load(f)

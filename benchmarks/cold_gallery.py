@@ -162,6 +162,120 @@ def guess_friction_slack(prob, N):
     return g
 
 
+def guess_parallel_park(prob, N):
+    # plot_parallel_park.py:125-131 (straight-line documented guess)
+    duration = 30.0
+    time = np.asarray(prob.time_vector())
+    x_guess = 3.0 / duration * 2.0 * time
+    x_guess[N // 2:] = 6.0 - 3.0 / duration * 2.0 * time[N // 2:]
+    g = np.ones(prob.num_free)
+    g[:N] = x_guess
+    g[N:2 * N] = 2.0 / duration * time
+    return g
+
+
+def guess_hilly_race(prob, N):
+    # plot_hilly_race.py:199-210 (random + state ramps)
+    import hilly_race
+    return hilly_race.reference_initial_guess(prob)
+
+
+def guess_ball_on_disc(prob, N):
+    # plot_ball_rolling_on_spinning_disc.py:373-382
+    i3 = np.linspace(7.0, 0.0, N)     # y
+    i2 = np.linspace(7.0, 0.0, N)     # x
+    i1 = -i3                          # q1 = -y/r, r = 1
+    i1a = i2                          # q2 = x/r
+    return np.hstack((i1, i1a, np.zeros(N), i2, i3,
+                      np.zeros(8 * N), 0.01))
+
+
+def guess_betts_10_50(prob, N):
+    # betts_10_50 port main(): rng(4).random * 0.1
+    return np.random.default_rng(4).random(prob.num_free) * 0.1
+
+
+def guess_path_constraints(prob, N):
+    # path_constraints port main(): rng(0).random
+    return np.random.default_rng(0).random(prob.num_free)
+
+
+def guess_betts2003(prob, N):
+    # betts2003 port main(): rng(0).standard_normal
+    return np.random.default_rng(0).standard_normal(prob.num_free)
+
+
+def _run_from_build_guess(name, module, max_iter, guess_edit=None,
+                          build_kwargs=None):
+    """Ports whose build_problem returns (prob, guess, ...): park2004,
+    one_legged_time_trial, non_contiguous_id."""
+    mod = __import__(module)
+    out = mod.build_problem(**(build_kwargs or {}))
+    prob, guess = out[0], np.array(out[1], dtype=float)
+    if guess_edit:
+        guess_edit(guess)
+    prob.set_solver_options(max_iter=max_iter, use_soc=False)
+    t0 = time.time()
+    sol, info = prob.solve(guess)
+    rec = {'port': name, 'status': int(info['status']),
+           'iterations': int(info['iterations']),
+           'obj': float(info['obj_val']),
+           'wall_s': round(time.time() - t0, 1)}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def run_park2004():
+    # plot_park2004.py documented guess: measured states + 0.25 gains
+    def edit(g):
+        g[-8:] = 0.25
+    return _run_from_build_guess('park2004', 'park2004', 2000, edit)
+
+
+def run_one_legged_time_trial():
+    # plot_one_legged_time_trial.py documented ramp guess (port
+    # build_problem returns it)
+    return _run_from_build_guess('one_legged_time_trial',
+                                 'one_legged_time_trial', 3000)
+
+
+def run_non_contiguous_id():
+    # plot_non_contiguous_parameter_identification.py guess: measured
+    # sections + zeros + [0.1, 3.0] (port build_problem returns it)
+    return _run_from_build_guess('non_contiguous_id',
+                                 'non_contiguous_id', 1000)
+
+
+def run_betts_10_47():
+    # multi-phase script: run all three phases with their documented
+    # guesses (betts_10_47.py:134-181; phase 1 ramp is this port's
+    # documented deviation from the reference's flat 0.1 start — see
+    # the inline comment there) and report the per-phase statuses.
+    import betts_10_47
+    t0 = time.time()
+    (s1, i1), (s2, i2), (s3, i3) = betts_10_47.run_phases(verbose=False)
+    rec = {'port': 'betts_10_47',
+           'status': max(int(i1['status']), int(i3['status'])),
+           'iterations': (int(i1['iterations']) + int(i2['iterations'])
+                          + int(i3['iterations'])),
+           'obj': float(i3['obj_val']),
+           'wall_s': round(time.time() - t0, 1),
+           'phase_statuses': [int(i1['status']), int(i2['status']),
+                              int(i3['status'])],
+           'note': 'phase 2 singular arc ends restoration-failed at '
+                   'Betts-matching end state by design (see port)'}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+SPECIAL_RUNNERS = {
+    'park2004': run_park2004,
+    'one_legged_time_trial': run_one_legged_time_trial,
+    'non_contiguous_id': run_non_contiguous_id,
+    'betts_10_47': run_betts_10_47,
+}
+
+
 PORTS = {
     # name: (module, build kwargs, guess fn, max_iter)
     'light_diffraction': ('light_diffraction', {}, guess_light_diffraction,
@@ -185,10 +299,25 @@ PORTS = {
                          1000),
     'betts_10_7': ('betts_10_7', {}, guess_betts_10_7, 1000),
     'friction_slack': ('friction_slack', {}, guess_friction_slack, 2000),
+    # round-5 additions: every gallery port is a row (holdouts
+    # included), per the round-4 verdict
+    'parallel_park': ('parallel_park', {}, guess_parallel_park, 3000),
+    'hilly_race': ('hilly_race', {}, guess_hilly_race, 2000),
+    'ball_on_disc': ('ball_on_disc', {}, guess_ball_on_disc, 3000),
+    'betts_10_50': ('betts_10_50', {}, guess_betts_10_50, 1000),
+    'path_constraints': ('path_constraints', {}, guess_path_constraints,
+                         1000),
+    'betts2003': ('betts2003', {}, guess_betts2003, 1000),
+    'park2004': None,
+    'one_legged_time_trial': None,
+    'non_contiguous_id': None,
+    'betts_10_47': None,
 }
 
 
 def run_port(name):
+    if PORTS[name] is None:
+        return SPECIAL_RUNNERS[name]()
     module, kwargs, guess_fn, max_iter = PORTS[name]
     mod = __import__(module)
     out = mod.build_problem(**kwargs)

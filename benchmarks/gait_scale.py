@@ -31,6 +31,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--links', type=int, default=9)
     parser.add_argument('--nodes', type=int, default=60)
+    parser.add_argument('--note', default=None,
+                        help='free-text provenance note embedded in the '
+                             'JSON output (keeps committed artifacts '
+                             'byte-for-byte script output)')
     args = parser.parse_args()
 
     import sympy as sm
@@ -78,6 +82,8 @@ def main():
             'objective': float(info2['obj_val']),
         },
     }
+    if args.note:
+        out['note'] = args.note
     print(json.dumps(out))
 
 

@@ -203,6 +203,27 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
         return dict(Hd=Hd + Hd2, Ho=Ho + Ho2, Hw=Hw + Hw2,
                     Hww=Hww + Hww2, P=P, Q=Q, Cn=Cn, Gz=Gz, Gw=Gw)
 
+    def kkt_prepare_gn(x):
+        """Jacobian-only prep for the restoration inner solver
+        (steps.restoration_solve): the damped Gauss-Newton feasibility
+        iteration never uses the Lagrangian Hessian, so skip the
+        per-node Hessian assembly (the most expensive part of
+        kkt_prepare) and hand back zero H blocks."""
+        A, B, C, G = col.jacobian_blocks(x)
+        A = A * dsc_nodes[:, :, None]
+        B = B * dsc_nodes[:, :, None]
+        C = C * dsc_nodes[:, :, None]
+        if o:
+            G = G * dsc_inst[:, None]
+        P = jnp.zeros((N, M, nz), dtype).at[1:].set(A if be else B)
+        Q = jnp.zeros((N, M, nz), dtype).at[1:].set(B if be else A)
+        Cn = jnp.zeros((N, M, bw), dtype).at[1:].set(C)
+        Gz, Gw = split_instance_jac(G)
+        z_nn = jnp.zeros((N, nz, nz), dtype)
+        return dict(Hd=z_nn, Ho=z_nn, Hw=jnp.zeros((N, nz, bw), dtype),
+                    Hww=jnp.zeros((bw, bw), dtype), P=P, Q=Q, Cn=Cn,
+                    Gz=Gz, Gw=Gw)
+
     def _blocks_with(Hd, Ho, Hw, Hww, prep, ds):
         ds_nodes, ds_inst = split_con(ds)
         Ds = jnp.ones((N, M), dtype).at[1:].set(ds_nodes)
@@ -423,5 +444,6 @@ def make_collocation_nlp_functions(col, objective, gradient=None,
                        constraints=constraints_s, kkt_prepare=kkt_prepare,
                        kkt_factor=kkt_factor, kkt_apply=kkt_apply,
                        kkt_apply_soc=kkt_apply_soc, kkt_solve=kkt_solve,
-                       kkt_solve_feasibility=kkt_solve_feasibility)
+                       kkt_solve_feasibility=kkt_solve_feasibility,
+                       kkt_prepare_gn=kkt_prepare_gn)
     return fns, (sf, dsc_full)

@@ -210,10 +210,10 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         theta_now = jnp.sum(jnp.abs(c - s))
 
         # iteration-constant KKT data (Jacobian + Hessian blocks),
-        # shared by direction retries, SOC and restoration
+        # shared by direction retries and SOC
         prep = fns.kkt_prepare(x, y)
 
-        # -- barrier diagonals and residuals (shared by both branches) ---
+        # -- barrier diagonals and residuals -----------------------------
         diag = steps.barrier_diagonals(spec, x, s, zL, zU, wL, wU)
 
         # The direction ("ladder") rhs: monotone lanes solve the
@@ -232,28 +232,10 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         rhs_s_lad = jnp.where(eq, 0.0, rhs_s_lad)
         rc_lad = -(c - s) + diag.Ds * rhs_s_lad
 
-        # -- merged direction system ---------------------------------
-        # Under vmap BOTH lax.cond branches execute for every lane, so
-        # a restoration lane would otherwise pay the regular-direction
-        # factorization AND the restoration one.  The two systems
-        # share the Jacobian structure and differ only in diagonal
-        # blocks, so the blocks are SELECTED per lane before one
-        # shared factorization (steps.elastic_data documents the
-        # elastic restoration NLP behind the restoration blocks).
-        gn = st.in_rest
-        ed = steps.elastic_data(spec, fns, x, s, c, diag,
-                                st.x_R, st.mu_R, st.rest_lam)
-        Dp_el = ed.p_el ** 2 / ed.mu_R
-        Dn_el = ed.n_el ** 2 / ed.mu_R
-        sigma_m = jnp.where(gn, ed.sigma_xR, diag.sigma_x)
-        ds_m = jnp.where(gn, ed.DsR + Dp_el + Dn_el, diag.Ds)
-        rx_m = jnp.where(gn, ed.rx_rest, rx_lad)
-        rc_m = jnp.where(gn, ed.rc_rest, rc_lad)
-
         # -- direction with inertia-free curvature correction ---------
-        (dx, dy, ds, dx_gn, dy_gn, fac_used, delta_w_used, delta_c,
+        (dx, dy, ds, fac_used, delta_w_used, delta_c,
          dir_ok) = steps.regularized_direction(
-            spec, fns, x, y, prep, gn, sigma_m, ds_m, rx_m, rc_m,
+            spec, fns, x, y, prep, rx_lad, rc_lad,
             diag.Ds, rhs_s_lad, diag.sigma_x, diag.sigma_s,
             st.delta_w, st.alpha_last, st.E_last, st.E_prev,
             st.accept_count, st.mu)
@@ -263,8 +245,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         if adaptive:
             mu_ad = steps.mehrotra_probe(spec, diag, zL, zU, wL, wU,
                                          dx, ds, st.mu, dir_bad)
-            mu = jnp.where(gn, st.mu,
-                           jnp.where(free_lane, mu_ad, mu_mono))
+            mu = jnp.where(free_lane, mu_ad, mu_mono)
         else:
             mu = mu_mono
         tau = jnp.maximum(opt.tau_min, 1.0 - mu) if adaptive \
@@ -280,14 +261,12 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
 
         if adaptive:
             # corrector: centered solve with the SAME factorization
-            rx_m2 = jnp.where(gn, ed.rx_rest, rx)
-            rc_m2 = jnp.where(gn, ed.rc_rest, rc)
-            dx_c, dy_c, _ = fns.kkt_apply(fac_used, rx_m2, rc_m2)
+            dx_c, dy_c, _ = fns.kkt_apply(fac_used, rx, rc)
             dx_c = jnp.where(fixed, 0.0, dx_c)
             ds_c = jnp.where(eq, 0.0, diag.Ds * (dy_c + rhs_s))
             fin_c = (jnp.all(jnp.isfinite(dx_c))
                      & jnp.all(jnp.isfinite(dy_c)))
-            use_c = free_lane & fin_c & ~gn & ~dir_bad
+            use_c = free_lane & fin_c & ~dir_bad
             dx = jnp.where(use_c, dx_c, dx)
             dy = jnp.where(use_c, dy_c, dy)
             ds = jnp.where(use_c, ds_c, ds)
@@ -304,45 +283,67 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         f_phi = jnp.where(mu_reset, fp0, st.f_phi)
         f_count = jnp.where(mu_reset, fc0, st.f_count)
 
-        # ================================================================
-        # branch 1: regular filter-IPM step
-        # ================================================================
-        def ipm_branch(_):
-            (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, fth, fph, fcn,
-             enter_rest, alpha, stall_count) = steps.filter_line_search(
+        # -- regular filter-IPM step -------------------------------------
+        (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, f_theta_n, f_phi_n,
+         f_count_n, enter_rest, alpha, stall_count) = \
+            steps.filter_line_search(
                 spec, fns, x, s, y, zL, zU, wL, wU, diag, g, c,
                 theta_now, theta_min, mu, tau, dx, dy, ds, dir_bad,
                 fac_used, rx, rhs_s, f_theta, f_phi, f_count,
                 st.theta_prev, st.stall_count)
-            return (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n,
-                    fth, fph, fcn, enter_rest,
-                    jnp.where(enter_rest, theta_now, st.rest_theta),
-                    st.rest_lam, delta_w_used, delta_c, alpha,
-                    stall_count, jnp.asarray(False), mu, st.mu_R)
 
-        # ================================================================
-        # branch 2: feasibility restoration step
-        # ================================================================
+        # -- feasibility restoration (a full inner solve; W-B A-9) -------
+        # Entered when the line search fails or the stall/dual-blowup
+        # triggers fire; runs its own inner solver to a filter-
+        # acceptable near-feasible point within this outer iteration.
         def rest_branch(_):
-            (x_r, s_r, y_n, zL_n, zU_n, wL_n, wU_n, fth, fph, fcn,
-             in_rest_next, lam_n, stall_r, rest_failed, mu_out,
-             mu_R_n) = steps.restoration_branch(
-                spec, fns, x, s, y, zL, zU, wL, wU, diag, ed,
-                dx_gn, dy_gn, st.in_rest, theta_now, theta_min,
-                theta_max, mu, st.x_R, st.rest_lam, st.rest_theta,
-                st.stall_count, st.rest_visit, f_theta, f_phi, f_count)
-            return (x_r, s_r, y_n, zL_n, zU_n, wL_n, wU_n,
-                    fth, fph, fcn, in_rest_next, st.rest_theta,
-                    lam_n, st.delta_w, st.delta_c,
-                    jnp.asarray(0.0, dtype), stall_r, rest_failed,
-                    mu_out, mu_R_n)
+            ro = steps.restoration_solve(
+                spec, fns, x_n, s_n, mu, enter_rest,
+                f_theta_n, f_phi_n, f_count_n, theta_min)
+            # exit state: reset equality multipliers, recenter bound
+            # duals on the (possibly kicked) barrier, fresh filter
+            # with a cap on re-admitted infeasibility
+            mu_o = jnp.where(ro.kick, jnp.minimum(10.0 * mu, 10.0), mu)
+            dLx_e = jnp.where(mL, ro.x - xl, 1.0)
+            dUx_e = jnp.where(mU, xu - ro.x, 1.0)
+            dLs_e = jnp.where(msL, ro.s - cl, 1.0)
+            dUs_e = jnp.where(msU, cu - ro.s, 1.0)
+            zL_r = jnp.where(mL, mu_o / dLx_e, 0.0)
+            zU_r = jnp.where(mU, mu_o / dUx_e, 0.0)
+            wL_r = jnp.where(msL, mu_o / dLs_e, 0.0)
+            wU_r = jnp.where(msU, mu_o / dUs_e, 0.0)
+            ftf, fpf, fcf = steps.fresh_filter(theta_max, dtype)
+            # Cap the re-admitted infeasibility at a multiple of the
+            # restored level: a bare (theta_max, -inf) filter lets the
+            # next phi-improving steps blow theta right back up
+            # (observed: theta 44 -> 3.8e4 in four accepted steps on
+            # the 9-link chain), which defeats the restoration.
+            cap = jnp.minimum(
+                jnp.maximum(10.0 * ro.theta, 1e2 * theta_min),
+                theta_max)
+            ftf = ftf.at[1].set(cap)
+            fpf = fpf.at[1].set(-jnp.inf)
+            fcf = jnp.asarray(2, jnp.int32)
+            return (ro.x, ro.s, jnp.zeros_like(y), zL_r, zU_r, wL_r,
+                    wU_r, ftf, fpf, fcf, ro.iters, ro.certified,
+                    mu_o, jnp.asarray(0.0, dtype))
+
+        def no_rest(_):
+            return (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n,
+                    f_theta_n, f_phi_n, f_count_n,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                    mu, delta_w_used)
 
         (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, f_theta_n, f_phi_n,
-         f_count_n, in_rest, rest_theta, rest_lam, delta_w, delta_c,
-         alpha, stall_count, rest_failed, mu, mu_R_next) = jax.lax.cond(
-            st.in_rest, rest_branch, ipm_branch, operand=None)
+         f_count_n, rest_iters, rest_failed, mu, delta_w) = \
+            jax.lax.cond(enter_rest, rest_branch, no_rest, operand=None)
+        # the regular-phase theta-stall counter restarts after a
+        # restoration visit, and alpha_last = 0 keeps the delta_w
+        # feedback policy neutral on the fresh basin
+        stall_count = jnp.where(enter_rest, 0, stall_count)
+        alpha = jnp.where(enter_rest, 0.0, alpha)
 
-        rest_total = st.rest_total + jnp.asarray(st.in_rest, jnp.int32)
+        rest_total = st.rest_total + rest_iters
 
         # -- Ipopt kappa_sigma multiplier safeguard ----------------------
         dLx_n = jnp.where(mL, x_n - xl, 1.0)
@@ -363,14 +364,14 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         E0, inf_pr, inf_du = steps.optimality_error(
             spec, g_n, c_n, Jty_n, x_n, s_n, y_n, zL_n, zU_n, wL_n,
             wU_n, jnp.asarray(0.0, dtype))
-        converged = (E0 <= opt.tol) & ~in_rest
-        acceptable = (E0 <= opt.acceptable_tol) & ~in_rest
+        converged = E0 <= opt.tol
+        acceptable = E0 <= opt.acceptable_tol
         # Hysteresis on the acceptable counter: near a rounding-limited
         # optimality floor E0 hovers just around acceptable_tol (solve
         # noise), and Ipopt's strict consecutive count would reset on
         # every small excursion; hold the count (without incrementing)
         # for excursions within 10x and reset only on real divergence.
-        excursion = (E0 <= 10.0 * opt.acceptable_tol) & ~in_rest
+        excursion = E0 <= 10.0 * opt.acceptable_tol
         accept_count = jnp.where(
             acceptable, st.accept_count + 1,
             jnp.where(excursion, st.accept_count,
@@ -384,10 +385,9 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         # lane onto the monotone ladder, re-centering mu on its actual
         # complementarity average (the probe may have driven mu far
         # below where the duals are).
-        fresh_entry = in_rest & ~st.in_rest
         if adaptive:
             free_stall, fall_now, E_best = steps.stall_fallback(
-                spec, st.mono, in_rest, alpha, E0, st.E_best,
+                spec, st.mono, enter_rest, alpha, E0, st.E_best,
                 st.free_stall)
             comp_avg = steps.complementarity_average(
                 spec, x_n, s_n, zL_n, zU_n, wL_n, wU_n)
@@ -398,11 +398,11 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             f_theta_n = jnp.where(fall_now, ftf, f_theta_n)
             f_phi_n = jnp.where(fall_now, fpf, f_phi_n)
             f_count_n = jnp.where(fall_now, fcf, f_count_n)
-            mono_next = st.mono | fresh_entry | fall_now
+            mono_next = st.mono | enter_rest | fall_now
         else:
             free_stall = st.free_stall
             E_best = st.E_best
-            mono_next = st.mono | fresh_entry
+            mono_next = st.mono | enter_rest
 
         bad = ~(jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(y_n))
                 & jnp.all(jnp.isfinite(s_n)))
@@ -432,18 +432,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 'al={al:.1e} rest={rs} th={th:.2e} |y|={ym:.1e} '
                 'E0={e0:.2e}',
                 it=st.it, mu=mu, pr=inf_pr, du=inf_du, dw=delta_w,
-                al=alpha, rs=in_rest, th=theta_new,
+                al=alpha, rs=rest_iters, th=theta_new,
                 ym=jnp.max(jnp.abs(y_n)), e0=E0)
-
-        # elastic-restoration init on FRESH entry: prox center is the
-        # entering iterate, the restoration barrier starts at the
-        # infeasibility scale (W-B: mu_R = max(mu, ||c||_inf)), the
-        # prox multiplier resets
-        x_R_n = jnp.where(fresh_entry, x_n, st.x_R)
-        mu_R_n = jnp.where(fresh_entry,
-                           jnp.minimum(jnp.maximum(mu, inf_pr), 1e2),
-                           mu_R_next)
-        rest_lam_n = jnp.where(fresh_entry, 1.0, rest_lam)
 
         return _State(
             x=sel(x_n, x), s=sel(s_n, s), y=sel(y_n, y),
@@ -451,13 +441,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             wL=sel(wL_n, wL), wU=sel(wU_n, wU),
             mu=mu, delta_w=delta_w, delta_c=delta_c,
             f_theta=f_theta_n, f_phi=f_phi_n, f_count=f_count_n,
-            in_rest=in_rest, rest_theta=rest_theta, rest_total=rest_total,
-            # per-visit counter: counts completed iterations of the
-            # current restoration visit, 0 outside restoration
-            rest_visit=jnp.where(in_rest, jnp.where(
-                st.in_rest, st.rest_visit + 1, jnp.asarray(0, jnp.int32)),
-                jnp.asarray(0, jnp.int32)),
-            rest_lam=rest_lam_n, theta_prev=theta_now,
+            rest_total=rest_total, theta_prev=theta_now,
             stall_count=stall_count,
             theta_min=theta_min, theta_max=theta_max,
             # adaptive-mode globalization: a lane whose line search
@@ -468,8 +452,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             accept_count=accept_count,
             obj_history=obj_history, inf_pr=inf_pr, inf_du=inf_du,
             alpha_last=alpha, E_last=E0, E_prev=st.E_last,
-            g=sel(g_n, g), c=sel(c_n, c), Jty=sel(Jty_n, Jty),
-            x_R=x_R_n, mu_R=mu_R_n)
+            g=sel(g_n, g), c=sel(c_n, c), Jty=sel(Jty_n, Jty))
 
     ft_i, fp_i, fc_i = steps.fresh_filter(theta_max_init, dtype)
     g_i, c_i, Jty_i = eval_point(x_init, y_init)
@@ -480,11 +463,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         delta_w=jnp.asarray(0.0, dtype),
         delta_c=jnp.asarray(0.0, dtype),
         f_theta=ft_i, f_phi=fp_i, f_count=fc_i,
-        in_rest=jnp.asarray(False),
-        rest_theta=jnp.asarray(0.0, dtype),
         rest_total=jnp.asarray(0, jnp.int32),
-        rest_visit=jnp.asarray(0, jnp.int32),
-        rest_lam=jnp.asarray(1.0, dtype),
         theta_prev=jnp.asarray(jnp.inf, dtype),
         stall_count=jnp.asarray(0, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
@@ -501,8 +480,7 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         mono=jnp.asarray(False),
         free_stall=jnp.asarray(0, jnp.int32),
         E_best=jnp.asarray(jnp.inf, dtype),
-        g=g_i, c=c_i, Jty=Jty_i,
-        x_R=x_init, mu_R=jnp.asarray(opt.mu_init, dtype))
+        g=g_i, c=c_i, Jty=Jty_i)
     if resume_state is not None:
         if refill is None:
             st0 = resume_state
@@ -518,11 +496,11 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         while bool(cond(st)):
             st = body(st)
             print('it={:4d} mu={:9.2e} inf_pr={:9.2e} inf_du={:9.2e} '
-                  'dw={:8.1e} dc={:8.1e} rest={:d}/{:3d} alpha={:8.1e} '
+                  'dw={:8.1e} dc={:8.1e} rest={:3d} alpha={:8.1e} '
                   'nf={:2d} mono={:d} |y|={:9.2e} obj={:12.5e}'.format(
                       int(st.it), float(st.mu), float(st.inf_pr),
                       float(st.inf_du), float(st.delta_w),
-                      float(st.delta_c), int(st.in_rest),
+                      float(st.delta_c),
                       int(st.rest_total), float(st.alpha_last),
                       int(st.f_count), int(st.mono),
                       float(jnp.max(jnp.abs(st.y))),
@@ -599,8 +577,13 @@ def make_nlp_functions_dense(objective, constraints,
         n = sigma_x.shape[0]
         return sol[:n], sol[n:]
 
+    def kkt_prepare_gn(x):
+        J = jac(x)
+        return jnp.zeros((x.shape[0], x.shape[0]), J.dtype), J
+
     return IPMFunctions(objective=objective, gradient=grad,
                         constraints=constraints, kkt_prepare=kkt_prepare,
                         kkt_factor=kkt_factor, kkt_apply=kkt_apply,
                         kkt_solve=kkt_solve,
-                        kkt_solve_feasibility=kkt_solve_feasibility)
+                        kkt_solve_feasibility=kkt_solve_feasibility,
+                        kkt_prepare_gn=kkt_prepare_gn)

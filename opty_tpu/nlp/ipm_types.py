@@ -63,19 +63,22 @@ class IPMOptions(NamedTuple):
     # to count as solved (stability guard for the pivoting-free
     # structured factorization; see direction_quality)
     eta_kkt_resid: float = 1e-6
-    # restoration
+    # Multiplier-step cap: a direction whose dy exceeds this is treated
+    # as singular (rank-deficient constraint rows) and retried with
+    # delta_c instead of accepted.  Round-5 tightening (1e12 -> 1e8):
+    # the quarter-car cold trace showed accepted dy ~ 1e9 steps blowing
+    # |y| to 1e9 and wedging the solve; see steps.dir_quality.
+    dy_cap: float = 1e8
+    # restoration (a full inner solver since round 5; W-B A-9)
     rest_reduction: float = 0.1    # exit when theta <= this * entry theta
-    max_rest_iters: int = 80       # cumulative restoration iterations
-    # Time-box for ONE restoration visit: a visit that has not reached
-    # its exit threshold after this many iterations is handed back to
-    # the regular phase (with the mu re-centering kick when far from
-    # feasibility) instead of crawling the whole cumulative budget
-    # away.  Observed (round-4 cold-solve campaign): restorations that
-    # reduce theta 1-3% per iteration are "progressing" by every local
-    # test yet exhaust max_rest_iters without reaching the 10x
-    # reduction; the regular phase restarted from the partially
-    # restored point with a stronger barrier does better.
-    max_rest_visit: int = 25
+    max_rest_iters: int = 300      # cumulative inner-iteration budget
+    # Inner-iteration budget for ONE restoration visit.  Since round 5
+    # a visit is a full inner solve (steps.restoration_solve): its own
+    # barrier ladder, damped-GN factorization per inner iteration, and
+    # the A-9 return condition (theta reduced AND acceptable to the
+    # regular filter).  A visit that cannot reach that within this
+    # budget hands control back with the mu re-centering kick.
+    max_rest_visit: int = 60
     s_max: float = 100.0
     # Ipopt's bound_relax_factor: all bounds are relaxed internally by
     # this relative amount.  Essential for the (common) degenerate
@@ -151,6 +154,12 @@ class IPMFunctions(NamedTuple):
     # judged by the filter on actual evaluations, so full solve
     # accuracy buys nothing.  Falls back to kkt_apply.
     kkt_apply_soc: Any = None
+    # optional Jacobian-only prepare for the restoration inner solver
+    # (steps.restoration_solve): same prep contract as kkt_prepare but
+    # with zero Lagrangian-Hessian blocks, skipping the per-node
+    # Hessian assembly an inner GN iteration never uses.  Falls back
+    # to kkt_prepare(x, 0).
+    kkt_prepare_gn: Any = None
 
 
 class IPMResult(NamedTuple):
@@ -187,11 +196,7 @@ class IPMState(NamedTuple):
     f_theta: jnp.ndarray      # filter entries (theta), +inf = empty
     f_phi: jnp.ndarray        # filter entries (phi)
     f_count: jnp.ndarray
-    in_rest: jnp.ndarray      # restoration mode flag
-    rest_theta: jnp.ndarray   # theta at restoration entry
-    rest_total: jnp.ndarray   # cumulative restoration iterations
-    rest_visit: jnp.ndarray   # iterations in the CURRENT visit
-    rest_lam: jnp.ndarray     # LM damping of the restoration GN step
+    rest_total: jnp.ndarray   # cumulative restoration inner iterations
     theta_prev: jnp.ndarray   # previous-iteration theta (stall detection)
     stall_count: jnp.ndarray
     theta_min: jnp.ndarray    # init-point filter thresholds (constant;
@@ -212,8 +217,6 @@ class IPMState(NamedTuple):
     g: jnp.ndarray            # gradient, constraints and J^T y at
     c: jnp.ndarray            # (x, y), carried from the convergence
     Jty: jnp.ndarray          # check so each point is evaluated once
-    x_R: jnp.ndarray          # elastic-restoration prox center
-    mu_R: jnp.ndarray         # elastic-restoration barrier parameter
 
 
 class Spec(NamedTuple):

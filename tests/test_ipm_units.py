@@ -254,10 +254,9 @@ def test_regularized_direction_newton_on_convex_qp():
     rhs_s = jnp.zeros(1)
     rc = -(c - s)
     zero = jnp.asarray(0.0)
-    (dx, dy, ds_step, dx_gn, dy_gn, fac, dw, dc, ok) = \
+    (dx, dy, ds_step, fac, dw, dc, ok) = \
         steps.regularized_direction(
-            spec, fns, x, y, prep, jnp.asarray(False),
-            diag.sigma_x, diag.Ds, rx, rc, diag.Ds, rhs_s,
+            spec, fns, x, y, prep, rx, rc, diag.Ds, rhs_s,
             diag.sigma_x, diag.sigma_s,
             zero, jnp.asarray(1.0), jnp.asarray(1.0),
             jnp.asarray(2.0), jnp.asarray(0, jnp.int32), zero)
@@ -297,10 +296,9 @@ def test_regularized_direction_escalates_on_negative_curvature():
     rhs_s = jnp.zeros(1)
     rc = -(c - s)
     zero = jnp.asarray(0.0)
-    (dx, dy, ds_step, _, _, fac, dw, dc, ok) = \
+    (dx, dy, ds_step, fac, dw, dc, ok) = \
         steps.regularized_direction(
-            spec, fns, x, y, prep, jnp.asarray(False),
-            diag.sigma_x, diag.Ds, rx, rc, diag.Ds, rhs_s,
+            spec, fns, x, y, prep, rx, rc, diag.Ds, rhs_s,
             diag.sigma_x, diag.sigma_s,
             zero, jnp.asarray(1.0), jnp.asarray(1.0),
             jnp.asarray(2.0), jnp.asarray(0, jnp.int32), zero)
@@ -312,10 +310,10 @@ def test_regularized_direction_escalates_on_negative_curvature():
 # restoration exit policy
 # ---------------------------------------------------------------------------
 
-def test_restoration_visit_time_box():
-    """A restoration visit at the max_rest_visit budget must exit back
-    to the regular phase (with the mu kick when far from feasibility)
-    even while still making slow local progress."""
+def test_restoration_solve_certifies_local_infeasibility():
+    """On an infeasible constraint set the inner restoration solver
+    must converge to the violation minimizer and produce a
+    first-order local-infeasibility certificate."""
     def obj(x):
         return jnp.sum(x)
 
@@ -325,37 +323,68 @@ def test_restoration_visit_time_box():
     fns = make_nlp_functions_dense(obj, con)
     spec = _spec(n=1, m=1, xl=[-10.0], xu=[10.0], cl=[0.0], cu=[0.0])
     dtype = jnp.float64
-    x = jnp.asarray([2.0])
-    s = jnp.zeros(1)
-    y = jnp.zeros(1)
-    z0 = jnp.zeros(1)
-    diag = steps.barrier_diagonals(spec, x, s, z0, z0, z0, z0)
-    c = con(x)
-    mu = jnp.asarray(0.1, dtype)
-    ed = steps.elastic_data(spec, fns, x, s, c, diag, x,
-                            jnp.asarray(1.0, dtype),
-                            jnp.asarray(1.0, dtype))
     ft, fp, fc = steps.fresh_filter(jnp.asarray(1e4, dtype), dtype)
-    common = dict(theta_now=jnp.sum(jnp.abs(c - s)),
-                  theta_min=jnp.asarray(1e-6, dtype),
-                  theta_max=jnp.asarray(1e4, dtype))
-    args = (spec, fns, x, s, y, z0, z0, z0, z0, diag, ed,
-            jnp.zeros(1), jnp.zeros(1), jnp.asarray(True),
-            common['theta_now'], common['theta_min'],
-            common['theta_max'], mu, x, jnp.asarray(1.0, dtype),
-            jnp.asarray(5.0, dtype), jnp.asarray(0, jnp.int32))
-    w = spec.opt.max_rest_visit
-    # visit counter below the box: restoration continues
-    out = steps.restoration_branch(*args, jnp.asarray(0, jnp.int32),
-                                   ft, fp, fc)
-    in_rest_next = out[10]
-    assert bool(in_rest_next)
-    # visit counter at the box: forced exit with mu kicked up
-    out = steps.restoration_branch(*args, jnp.asarray(w, jnp.int32),
-                                   ft, fp, fc)
-    in_rest_next, mu_out = out[10], out[14]
-    assert not bool(in_rest_next)
-    assert float(mu_out) > float(mu)
+    ro = steps.restoration_solve(
+        spec, fns, jnp.asarray([2.0], dtype), jnp.zeros(1, dtype),
+        jnp.asarray(0.1, dtype), jnp.asarray(True), ft, fp, fc,
+        jnp.asarray(1e-6, dtype), max_inner=200)
+    assert bool(ro.certified)
+    assert not bool(ro.success)
+    # the violation minimizer is x = 0 with theta = 1
+    np.testing.assert_allclose(float(ro.x[0]), 0.0, atol=1e-2)
+    np.testing.assert_allclose(float(ro.theta), 1.0, atol=1e-2)
+
+
+def test_restoration_solve_reaches_feasibility():
+    """On a feasible constraint set entered far from feasibility the
+    inner solver must exit successfully with theta reduced to the
+    goal and the point acceptable to the caller's filter."""
+    def obj(x):
+        return jnp.sum(x ** 2)
+
+    def con(x):
+        return jnp.asarray([x[0] ** 2 + x[1] - 1.0])
+
+    fns = make_nlp_functions_dense(obj, con)
+    spec = _spec(n=2, m=1, xl=-10.0 * np.ones(2), xu=10.0 * np.ones(2),
+                 cl=[0.0], cu=[0.0])
+    dtype = jnp.float64
+    ft, fp, fc = steps.fresh_filter(jnp.asarray(1e4, dtype), dtype)
+    x0 = jnp.asarray([3.0, 5.0], dtype)          # c = 13, very infeasible
+    ro = steps.restoration_solve(
+        spec, fns, x0, jnp.zeros(1, dtype),
+        jnp.asarray(0.1, dtype), jnp.asarray(True), ft, fp, fc,
+        jnp.asarray(1e-6, dtype), max_inner=100)
+    assert bool(ro.success), (float(ro.theta), int(ro.iters))
+    assert float(ro.theta) <= 0.1 * 13.0 + 1e-9
+    assert not bool(ro.certified)
+
+
+def test_restoration_solve_time_box_and_dead_lane():
+    """The visit must consume at most max_inner iterations; a
+    live=False lane must exit immediately with its inputs unchanged."""
+    def obj(x):
+        return jnp.sum(x)
+
+    def con(x):
+        return jnp.asarray([x[0] ** 2 + 1.0])
+
+    fns = make_nlp_functions_dense(obj, con)
+    spec = _spec(n=1, m=1, xl=[-10.0], xu=[10.0], cl=[0.0], cu=[0.0])
+    dtype = jnp.float64
+    ft, fp, fc = steps.fresh_filter(jnp.asarray(1e4, dtype), dtype)
+    ro = steps.restoration_solve(
+        spec, fns, jnp.asarray([2.0], dtype), jnp.zeros(1, dtype),
+        jnp.asarray(0.1, dtype), jnp.asarray(True), ft, fp, fc,
+        jnp.asarray(1e-6, dtype), max_inner=3)
+    assert int(ro.iters) <= 3
+    dead = steps.restoration_solve(
+        spec, fns, jnp.asarray([2.0], dtype), jnp.full((1,), 7.5, dtype),
+        jnp.asarray(0.1, dtype), jnp.asarray(False), ft, fp, fc,
+        jnp.asarray(1e-6, dtype))
+    assert int(dead.iters) == 0
+    np.testing.assert_allclose(float(dead.x[0]), 2.0)
+    np.testing.assert_allclose(float(dead.s[0]), 7.5)
 
 
 # ---------------------------------------------------------------------------
