@@ -67,6 +67,7 @@ def main():
     max_iter = int(os.environ.get('BENCH_MAXITER', '200'))
     chunk = int(os.environ.get('BENCH_CHUNK', '20'))
     kkt_method = os.environ.get('BENCH_KKT', 'cr')
+    mu_strategy = os.environ.get('BENCH_MU', 'adaptive')
 
     prob = swing_up_problem(num_nodes=num_nodes)
     # use_soc=False: measured better for cold batched throughput on
@@ -75,7 +76,8 @@ def main():
     # 128/128 at tol 1e-8); warm-started endgames keep the default
     # True (see IPMOptions.use_soc).
     prob.set_solver_options(max_iter=max_iter, chunk_iters=chunk,
-                            kkt_method=kkt_method, use_soc=False)
+                            kkt_method=kkt_method, use_soc=False,
+                            mu_strategy=mu_strategy)
 
     rng = np.random.default_rng(7)
     queue = rng.standard_normal((queue_len, prob.num_free))

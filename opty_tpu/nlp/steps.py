@@ -364,6 +364,14 @@ def regularized_direction(spec: Spec, fns, x, y, prep,
         # 3000 iterations for a problem it can solve in ~600)
         bad_step = (alpha_last > 0.0) & (alpha_last < 1e-2) & ~improving
         freeze = (accept_count > 0) & ~improving
+        # Default branch decays /3 every iteration (W-B kappa_w^-,
+        # applied to the FIRST retry after the dw = 0 trial fails):
+        # holding the previous value creates a fixed point — observed
+        # on light_diffraction, dw pinned at 4.3 for 150+ iterations
+        # with alpha hovering just above the bad_step threshold and E
+        # flat, because the ladder bounced 0 -> 4.3 every iteration
+        # and never probed the (much smaller) level actually needed.
+        # The freeze branch still guards warm-start endgames.
         first_retry = jnp.where(
             freeze & ~was_zero, delta_w_prev,
             jnp.where(
@@ -372,11 +380,8 @@ def regularized_direction(spec: Spec, fns, x, y, prep,
                 jnp.where(
                     was_zero,
                     jnp.asarray(opt.delta_w_init * 1e4, dtype),
-                    jnp.where(
-                        good_step,
-                        jnp.maximum(opt.delta_w_min,
-                                    delta_w_prev * 0.33),
-                        delta_w_prev))))
+                    jnp.maximum(opt.delta_w_min,
+                                delta_w_prev * 0.33))))
         growth = jnp.where(was_zero | ~healthy_prev, 100.0, 8.0)
         dw_candidate = jnp.where(
             dw == 0.0, first_retry,
