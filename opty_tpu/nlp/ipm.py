@@ -302,8 +302,16 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                 f_theta_n, f_phi_n, f_count_n, theta_min)
             # exit state: reset equality multipliers, recenter bound
             # duals on the (possibly kicked) barrier, fresh filter
-            # with a cap on re-admitted infeasibility
-            mu_o = jnp.where(ro.kick, jnp.minimum(10.0 * mu, 10.0), mu)
+            # with a cap on re-admitted infeasibility.  The kick is
+            # capped at mu_init: uncapped (round-4's min(10 mu, 10))
+            # it ratcheted 0.1 -> 1 -> 10 across failed visits on
+            # light_diffraction, and a mu = 10 barrier pushed the
+            # slacks so far interior that the restored feasibility was
+            # destroyed (theta 140 -> 1500 in the next few steps).
+            mu_o = jnp.where(
+                ro.kick,
+                jnp.maximum(mu, jnp.minimum(10.0 * mu, opt.mu_init)),
+                mu)
             dLx_e = jnp.where(mL, ro.x - xl, 1.0)
             dUx_e = jnp.where(mU, xu - ro.x, 1.0)
             dLs_e = jnp.where(msL, ro.s - cl, 1.0)
@@ -334,9 +342,21 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
                     jnp.asarray(0, jnp.int32), jnp.asarray(False),
                     mu, delta_w_used)
 
-        (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, f_theta_n, f_phi_n,
-         f_count_n, rest_iters, rest_failed, mu, delta_w) = \
-            jax.lax.cond(enter_rest, rest_branch, no_rest, operand=None)
+        # max_rest_visit == 0 statically removes the restoration
+        # program (it is by far the largest single contributor to the
+        # lowered MLIR: GN factorization path + several constraint-
+        # kernel copies in the merit backtracks).  Warm-started
+        # benchmark configs that never restore (gait-scale wall-time
+        # metric) use this to fit the remote TPU compile.
+        if opt.max_rest_visit == 0:
+            (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, f_theta_n,
+             f_phi_n, f_count_n, rest_iters, rest_failed, mu,
+             delta_w) = no_rest(None)
+        else:
+            (x_n, s_n, y_n, zL_n, zU_n, wL_n, wU_n, f_theta_n,
+             f_phi_n, f_count_n, rest_iters, rest_failed, mu,
+             delta_w) = jax.lax.cond(enter_rest, rest_branch, no_rest,
+                                     operand=None)
         # the regular-phase theta-stall counter restarts after a
         # restoration visit, and alpha_last = 0 keeps the delta_w
         # feedback policy neutral on the fresh basin

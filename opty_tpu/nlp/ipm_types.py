@@ -69,9 +69,22 @@ class IPMOptions(NamedTuple):
     # the quarter-car cold trace showed accepted dy ~ 1e9 steps blowing
     # |y| to 1e9 and wedging the solve; see steps.dir_quality.
     dy_cap: float = 1e8
-    # restoration (a full inner solver since round 5; W-B A-9)
-    rest_reduction: float = 0.1    # exit when theta <= this * entry theta
-    max_rest_iters: int = 300      # cumulative inner-iteration budget
+    # restoration (a full inner solver since round 5; W-B A-9).
+    # rest_reduction is Ipopt's kappa_resto: the visit may return once
+    # theta <= kappa_resto * theta_entry AND the point is acceptable
+    # to the regular filter.  Ipopt's default is 0.9 — demanding a
+    # large fixed reduction instead makes visits time out their
+    # budget on problems where theta falls steadily but slowly
+    # (observed on light_diffraction: visit entered at theta 932,
+    # reached 140, timed out 7x short of a 10x goal).
+    rest_reduction: float = 0.9
+    # Cumulative inner-iteration safety valve (Ipopt has no such cap —
+    # its restoration fails only on its own merits; this bound exists
+    # for lockstep batched solves).  Sized to stay above max_iter for
+    # typical budgets so it never fires before the iteration limit on
+    # single solves (round-5: light_diffraction burned a 300 budget by
+    # iteration 565 while still descending).
+    max_rest_iters: int = 2000     # cumulative inner-iteration budget
     # Inner-iteration budget for ONE restoration visit.  Since round 5
     # a visit is a full inner solve (steps.restoration_solve): its own
     # barrier ladder, damped-GN factorization per inner iteration, and

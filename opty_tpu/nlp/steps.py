@@ -314,7 +314,7 @@ def regularized_direction(spec: Spec, fns, x, y, prep,
 
     def dir_cond(carry):
         _, _, _, _, _, _, _, tries, ok = carry
-        return (~ok) & (tries < 14)
+        return (~ok) & (tries < 15)
 
     def dir_body(carry):
         dxx, dyy, dss, fac, dw, dc, healthy_prev, tries, _ = carry
@@ -405,21 +405,27 @@ def regularized_direction(spec: Spec, fns, x, y, prep,
         dc_new = jnp.where(healthy_prev, dc,
                            jnp.maximum(1e-8 * mu_prev ** 0.25,
                                        opt.delta_c_init))
+        # trial 0 is the unregularized Newton system; it runs INSIDE
+        # this loop so the factor+quality program appears exactly once
+        # in the lowered module (an out-of-loop first trial duplicated
+        # ~1.5 MB of MLIR at gait-scale shapes)
+        first = tries == 0
+        dw_new = jnp.where(first, 0.0, dw_new)
+        dc_new = jnp.where(first, 0.0, dc_new)
         dxx, dyy, dss, fac, rres = compute_dir(dw_new, dc_new)
         ok, healthy = dir_quality(dxx, dyy, dss, dw_new, rres)
         return (dxx, dyy, dss, fac, dw_new, dc_new, healthy,
                 tries + 1, ok)
 
-    dx, dy, ds, fac0, rres0 = compute_dir(jnp.asarray(0.0, dtype),
-                                          jnp.asarray(0.0, dtype))
-    ok0, healthy0 = dir_quality(dx, dy, ds,
-                                jnp.asarray(0.0, dtype), rres0)
+    zero = jnp.asarray(0.0, dtype)
+    shapes = jax.eval_shape(lambda: compute_dir(zero, zero))
+    dx0, dy0, ds0, fac0, _ = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     (dx, dy, ds, fac_used, delta_w_used, delta_c, _, _,
      dir_ok) = jax.lax.while_loop(
             dir_cond, dir_body,
-            (dx, dy, ds, fac0, jnp.asarray(0.0, dtype),
-             jnp.asarray(0.0, dtype), healthy0,
-             jnp.asarray(0, jnp.int32), ok0))
+            (dx0, dy0, ds0, fac0, zero, zero, jnp.asarray(True),
+             jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     dir_bad = ~dir_ok
     dx = jnp.where(dir_bad, 0.0, dx)
     dy = jnp.where(dir_bad, 0.0, dy)

@@ -30,23 +30,32 @@ __all__ = ['make_structured_scalar_hessian', 'structured_scalar_hessian']
 
 
 def make_hvp_seeds(N, n, q, bw, dtype):
-    """Static (3*(n+q)+bw, nfree) seed matrix in free-vector layout."""
+    """(3*(n+q)+bw, nfree) seed matrix in free-vector layout.
+
+    Built from iota comparisons instead of a host-side dense array: a
+    materialized np constant of this shape is EMBEDDED in the lowered
+    program as a hex literal (measured 2.6 MB of MLIR text at
+    gait-scale shapes — a third of the whole solver program and a
+    direct contributor to the remote-compile OOM this replaces).
+
+    Free-vector layout fact used: state loc < n lives at loc*N + node
+    and unknown input loc in [n, nz) at n*N + (loc-n)*N + node, which
+    is loc*N + node as well — one formula covers both."""
     nz = n + q
     nfree = nz * N + bw
     ncol = 3 * nz + bw
-    seeds = np.zeros((ncol, nfree))
-    nodes = np.arange(N)
-    for c in range(3):
-        sel = nodes[nodes % 3 == c]
-        for loc in range(nz):
-            if loc < n:
-                idx = loc * N + sel
-            else:
-                idx = n * N + (loc - n) * N + sel
-            seeds[c * nz + loc, idx] = 1.0
-    for j in range(bw):
-        seeds[3 * nz + j, nz * N + j] = 1.0
-    return jnp.asarray(seeds, dtype)
+    i = jnp.arange(nfree)
+    r = jnp.arange(ncol)
+    loc_i = i // N
+    node_i = i % N
+    c_r = r // nz
+    loc_r = r % nz
+    main = ((i[None, :] < nz * N) & (r[:, None] < 3 * nz)
+            & (loc_i[None, :] == loc_r[:, None])
+            & (node_i[None, :] % 3 == c_r[:, None]))
+    border = ((r[:, None] >= 3 * nz)
+              & (i[None, :] == nz * N + (r[:, None] - 3 * nz)))
+    return (main | border).astype(dtype)
 
 
 def structured_scalar_hessian(fun, free, N, n, q, bw, seeds=None):
@@ -97,11 +106,14 @@ def structured_scalar_hessian(fun, free, N, n, q, bw, seeds=None):
 
 
 def make_structured_scalar_hessian(N, n, q, bw, dtype):
-    """Close over precomputed seeds."""
-    seeds = make_hvp_seeds(N, n, q, bw, dtype)
+    """Factory closing over the static shape parameters.
 
+    The seeds are built INSIDE each traced call (not closed over): a
+    concrete jnp array closed over by a jitted function is embedded in
+    the program as a literal constant — see make_hvp_seeds."""
     def run(fun, free):
-        return structured_scalar_hessian(fun, free, N, n, q, bw, seeds=seeds)
+        return structured_scalar_hessian(fun, free, N, n, q, bw,
+                                         seeds=None)
     return run
 
 

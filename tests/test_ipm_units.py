@@ -321,7 +321,11 @@ def test_restoration_solve_certifies_local_infeasibility():
         return jnp.asarray([x[0] ** 2 + 1.0])   # infeasible: c = 0 hard
 
     fns = make_nlp_functions_dense(obj, con)
-    spec = _spec(n=1, m=1, xl=[-10.0], xu=[10.0], cl=[0.0], cu=[0.0])
+    # rest_reduction (kappa_resto) below what an infeasible problem
+    # can deliver, so the visit cannot exit "success" on its first
+    # 10% theta cut and must run to the certificate
+    spec = _spec(n=1, m=1, xl=[-10.0], xu=[10.0], cl=[0.0], cu=[0.0],
+                 opt=IPMOptions(rest_reduction=0.05))
     dtype = jnp.float64
     ft, fp, fc = steps.fresh_filter(jnp.asarray(1e4, dtype), dtype)
     ro = steps.restoration_solve(
@@ -356,7 +360,9 @@ def test_restoration_solve_reaches_feasibility():
         jnp.asarray(0.1, dtype), jnp.asarray(True), ft, fp, fc,
         jnp.asarray(1e-6, dtype), max_inner=100)
     assert bool(ro.success), (float(ro.theta), int(ro.iters))
-    assert float(ro.theta) <= 0.1 * 13.0 + 1e-9
+    # kappa_resto (rest_reduction) bounds the returned theta
+    assert float(ro.theta) <= \
+        IPMOptions().rest_reduction * 13.0 + 1e-9
     assert not bool(ro.certified)
 
 

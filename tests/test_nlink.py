@@ -39,6 +39,35 @@ class TestLoweringAtScale:
         assert res.shape == (prob.num_constraints,)
         assert np.all(np.isfinite(res))
 
+    def test_scan_hessian_matches_unrolled_autodiff(self, prob9):
+        """The 9-link model crosses the width > 24 threshold, so its
+        per-node Lagrangian Hessian runs as a lax.scan over tangent
+        directions (program-size control for the remote TPU compile);
+        the result must equal the fully-unrolled jax.hessian."""
+        import jax
+        import jax.numpy as jnp
+        prob, q_start = prob9
+        col = prob.collocator
+        nz = col._nz
+        rng = np.random.default_rng(5)
+        z_cur = jnp.asarray(rng.standard_normal(nz))
+        z_adj = jnp.asarray(rng.standard_normal(nz))
+        w = jnp.asarray(np.abs(rng.standard_normal(col._bw)) + 0.1)
+        y_row = jnp.asarray(rng.standard_normal(col.num_eom))
+        ktc = jnp.zeros((max(len(col._known_input_trajectories), 1),))
+        idx = 3
+
+        def scal(v):
+            res = col.node_kernel(v[:nz], v[nz:2 * nz], v[2 * nz:],
+                                  idx, ktc, ktc)
+            return jnp.dot(y_row, res)
+
+        v0 = jnp.concatenate([z_cur, z_adj, w])
+        H_scan = np.asarray(col._node_hessian(
+            z_cur, z_adj, w, idx, ktc, ktc, y_row))
+        H_ref = np.asarray(jax.hessian(scal)(v0))
+        np.testing.assert_allclose(H_scan, H_ref, rtol=1e-9, atol=1e-9)
+
     def test_jacobian_matches_finite_differences(self, prob9):
         prob, q_start = prob9
         rng = np.random.default_rng(3)
