@@ -67,7 +67,13 @@ def main():
     max_iter = int(os.environ.get('BENCH_MAXITER', '200'))
     chunk = int(os.environ.get('BENCH_CHUNK', '20'))
     kkt_method = os.environ.get('BENCH_KKT', 'cr')
-    mu_strategy = os.environ.get('BENCH_MU', 'adaptive')
+    # Round-5 A/B on the chip (BENCH_r05 context): monotone 25.41
+    # solves/s (128/128, mean 41.3, max 80) vs adaptive 22.92 (mean
+    # 42.9, max 101) — on this queue 124/128 adaptive lanes fell back
+    # to monotone anyway and paid the Mehrotra probe (an extra
+    # factored solve per iteration) for nothing.  Monotone is also
+    # Ipopt's own default mu_strategy.
+    mu_strategy = os.environ.get('BENCH_MU', 'monotone')
 
     prob = swing_up_problem(num_nodes=num_nodes)
     # use_soc=False: measured better for cold batched throughput on

@@ -283,7 +283,9 @@ PORTS = {
     'crane_load': ('crane_load', {}, guess_crane_load, 1000),
     'double_pendulum_cart': ('double_pendulum_cart', {},
                              guess_double_pendulum_cart, 2000),
-    'quarter_car': ('quarter_car', {}, guess_quarter_car, 1000),
+    # quarter_car converges cold to a better objective than the
+    # reference CSV, but needs ~2600 iterations (measured round 5)
+    'quarter_car': ('quarter_car', {}, guess_quarter_car, 4000),
     'particle_in_tube': ('particle_in_tube', {}, guess_particle_in_tube,
                          2000),
     'steamboat': ('steamboat', {}, guess_steamboat, 2000),

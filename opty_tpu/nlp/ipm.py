@@ -297,8 +297,12 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         # triggers fire; runs its own inner solver to a filter-
         # acceptable near-feasible point within this outer iteration.
         def rest_branch(_):
+            # restoration starts from the CURRENT iterate (x, s) with
+            # its carried constraint value — the point whose search
+            # failed (Ipopt enters restoration exactly there); passing
+            # the carried c means visit entry costs no evaluations
             ro = steps.restoration_solve(
-                spec, fns, x_n, s_n, mu, enter_rest,
+                spec, fns, x, s, c, mu, enter_rest,
                 f_theta_n, f_phi_n, f_count_n, theta_min)
             # exit state: reset equality multipliers, recenter bound
             # duals on the (possibly kicked) barrier, fresh filter

@@ -797,7 +797,7 @@ class RestorationOut(NamedTuple):
     kick: jnp.ndarray         # exited stuck far from feasibility
 
 
-def restoration_solve(spec: Spec, fns, x0, s0, mu, live,
+def restoration_solve(spec: Spec, fns, x0, s0, c0, mu, live,
                       f_theta, f_phi, f_count, theta_min,
                       max_inner=None) -> RestorationOut:
     """Feasibility restoration as its OWN inner solver — the full
@@ -862,25 +862,23 @@ def restoration_solve(spec: Spec, fns, x0, s0, mu, live,
         prepare_gn = lambda xx: fns.kkt_prepare(
             xx, jnp.zeros((m0,), dtype))
 
-    x_R = x0
-    dR2 = 1.0 / jnp.maximum(1.0, jnp.abs(x_R)) ** 2
-    c0 = fns.constraints(x0)
+    # ``c0`` is the CARRIED constraint value at x0 (the caller's
+    # per-iteration eval): the visit entry does no array work of its
+    # own — under vmap both branches of the caller's cond execute
+    # every iteration, so anything outside the while loop would be a
+    # per-iteration tax on every lane whether or not anyone restores
+    # (an earlier revision paid a full constraints eval + slack_opt
+    # here, ~1 ms/iteration at bench shapes for nothing).
     # The restoration barrier has its OWN floor (the solver tolerance,
     # decoupled from the outer mu): a local-infeasibility certificate
     # requires solving the feasibility problem to first-order
     # stationarity, which means driving mu_R all the way down — the
     # ladder only goes there when progress repeatedly stalls.
+    x_R = x0
+    dR2 = 1.0 / jnp.maximum(1.0, jnp.abs(x_R)) ** 2
     mu_floor = jnp.asarray(opt.tol, dtype)
     mu_R0 = jnp.clip(jnp.maximum(mu, jnp.max(jnp.abs(c0 - s0))),
                      mu_floor, 1e2)
-    # Slack re-initialization at visit entry (Ipopt's restoration
-    # re-initializes slacks too): jump every slack to its exact
-    # per-row restoration optimum — see slack_opt.
-    s0 = jnp.where(live, slack_opt(spec, c0, s0, mu_R0, rho_R), s0)
-    r0 = c0 - s0
-    theta_entry = jnp.sum(jnp.abs(r0))
-    theta_goal = jnp.maximum(opt.rest_reduction * theta_entry,
-                             theta_min)
     slog = lambda d: jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
 
     def rest_merit(xt, st_, mu_R, zeta_R):
@@ -905,17 +903,24 @@ def restoration_solve(spec: Spec, fns, x0, s0, mu, live,
         return jnp.where(okb, elas + bar + prox, jnp.inf), theta_t
 
     def cond(carry):
-        return carry[8]       # run flag
+        return carry[9]       # run flag
 
     def body(carry):
-        (x, s, c, mu_R, tr, j, stall, E_prev_R, run, success,
-         certified, kick) = carry
+        (x, s, c, mu_R, tr, j, stall, E_prev_R, theta_goal, run,
+         success, certified, kick) = carry
         # re-optimize the slacks exactly at the current (x, mu_R):
         # keeps the slack diagonal of the GN system evaluated at the
-        # per-row barrier optimum (see slack_opt)
+        # per-row barrier optimum (see slack_opt); doubles as the
+        # Ipopt-style slack re-initialization at visit entry
         s = slack_opt(spec, c, s, mu_R, rho_R)
         r = c - s
         theta_now = jnp.sum(jnp.abs(r))
+        # visit-entry theta (post slack reset) fixes the A-9 return
+        # goal on the first trip
+        theta_goal = jnp.where(
+            theta_goal < 0.0,
+            jnp.maximum(opt.rest_reduction * theta_now, theta_min),
+            theta_goal)
 
         # -- distances and elastic quantities at the current point --
         dLx = jnp.where(mL, x - spec.xl, 1.0)
@@ -1123,7 +1128,7 @@ def restoration_solve(spec: Spec, fns, x0, s0, mu, live,
                 tm=tr)
 
         return (x_n, s_n, c_n, mu_R_n, tr_n, j_n, stall_n, E_R,
-                run_n,
+                theta_goal, run_n,
                 success | (success_now & ~run_n & run),
                 certified | (cert_exit & run),
                 kick | (kick_now & run))
@@ -1131,9 +1136,10 @@ def restoration_solve(spec: Spec, fns, x0, s0, mu, live,
     carry0 = (x0, s0, c0, mu_R0, jnp.asarray(1e3, dtype),
               jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
               jnp.asarray(jnp.inf, dtype),
+              jnp.asarray(-1.0, dtype),
               jnp.asarray(live), jnp.asarray(False),
               jnp.asarray(False), jnp.asarray(False))
-    (x_f, s_f, c_f, mu_R_f, _, j_f, _, _, _, success, certified,
+    (x_f, s_f, c_f, mu_R_f, _, j_f, _, _, _, _, success, certified,
      kick) = jax.lax.while_loop(cond, body, carry0)
     theta_f = jnp.sum(jnp.abs(c_f - s_f))
     return RestorationOut(x=x_f, s=s_f, theta=theta_f, iters=j_f,

@@ -328,8 +328,9 @@ def test_restoration_solve_certifies_local_infeasibility():
                  opt=IPMOptions(rest_reduction=0.05))
     dtype = jnp.float64
     ft, fp, fc = steps.fresh_filter(jnp.asarray(1e4, dtype), dtype)
+    x0 = jnp.asarray([2.0], dtype)
     ro = steps.restoration_solve(
-        spec, fns, jnp.asarray([2.0], dtype), jnp.zeros(1, dtype),
+        spec, fns, x0, jnp.zeros(1, dtype), con(x0),
         jnp.asarray(0.1, dtype), jnp.asarray(True), ft, fp, fc,
         jnp.asarray(1e-6, dtype), max_inner=200)
     assert bool(ro.certified)
@@ -356,7 +357,7 @@ def test_restoration_solve_reaches_feasibility():
     ft, fp, fc = steps.fresh_filter(jnp.asarray(1e4, dtype), dtype)
     x0 = jnp.asarray([3.0, 5.0], dtype)          # c = 13, very infeasible
     ro = steps.restoration_solve(
-        spec, fns, x0, jnp.zeros(1, dtype),
+        spec, fns, x0, jnp.zeros(1, dtype), con(x0),
         jnp.asarray(0.1, dtype), jnp.asarray(True), ft, fp, fc,
         jnp.asarray(1e-6, dtype), max_inner=100)
     assert bool(ro.success), (float(ro.theta), int(ro.iters))
@@ -379,13 +380,14 @@ def test_restoration_solve_time_box_and_dead_lane():
     spec = _spec(n=1, m=1, xl=[-10.0], xu=[10.0], cl=[0.0], cu=[0.0])
     dtype = jnp.float64
     ft, fp, fc = steps.fresh_filter(jnp.asarray(1e4, dtype), dtype)
+    x0 = jnp.asarray([2.0], dtype)
     ro = steps.restoration_solve(
-        spec, fns, jnp.asarray([2.0], dtype), jnp.zeros(1, dtype),
+        spec, fns, x0, jnp.zeros(1, dtype), con(x0),
         jnp.asarray(0.1, dtype), jnp.asarray(True), ft, fp, fc,
         jnp.asarray(1e-6, dtype), max_inner=3)
     assert int(ro.iters) <= 3
     dead = steps.restoration_solve(
-        spec, fns, jnp.asarray([2.0], dtype), jnp.full((1,), 7.5, dtype),
+        spec, fns, x0, jnp.full((1,), 7.5, dtype), con(x0),
         jnp.asarray(0.1, dtype), jnp.asarray(False), ft, fp, fc,
         jnp.asarray(1e-6, dtype))
     assert int(dead.iters) == 0
