@@ -62,7 +62,12 @@ def main():
     # retired-lane idle trades off at ~20 iterations/chunk (sweep:
     # chunk 8 -> 17.2/s, 12 -> 18.0, 16 -> 18.9, 20 -> 19.9,
     # 24 -> 19.7; CHUNK_SWEEP_r04.json).
-    batch = int(os.environ.get('BENCH_BATCH', '16'))
+    # Round-5 batch sweep on the chip (monotone): 16 -> 26.3 solves/s,
+    # 32 -> 32.7, 64 -> 32.7 — the restructured iteration amortizes
+    # to 0.59 ms/lane-iteration at 32 lanes vs 0.75 at 16 (the round-4
+    # "flat in batch" finding no longer holds); 32 keeps refill
+    # granularity on the 128-queue.
+    batch = int(os.environ.get('BENCH_BATCH', '32'))
     queue_len = int(os.environ.get('BENCH_QUEUE', str(max(128, 3 * batch))))
     max_iter = int(os.environ.get('BENCH_MAXITER', '200'))
     chunk = int(os.environ.get('BENCH_CHUNK', '20'))

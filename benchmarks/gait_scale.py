@@ -35,6 +35,12 @@ def main():
                         help='free-text provenance note embedded in the '
                              'JSON output (keeps committed artifacts '
                              'byte-for-byte script output)')
+    parser.add_argument('--small-program', action='store_true',
+                        help='statically remove the SOC and restoration '
+                             'programs (use_soc=False, max_rest_visit=0) '
+                             'to fit the remote TPU compile; safe for '
+                             'this warm-started benchmark, which never '
+                             'restores (rest_total is reported)')
     args = parser.parse_args()
 
     import sympy as sm
@@ -50,7 +56,10 @@ def main():
     # near-feasible inverse-dynamics start -> small initial barrier;
     # the nonconvex tail of this problem converges slowly, so give it
     # a generous iteration budget and report what was achieved
-    prob.set_solver_options(max_iter=1500, mu_init=1e-5)
+    extra_opts = {}
+    if args.small_program:
+        extra_opts = dict(use_soc=False, max_rest_visit=0)
+    prob.set_solver_options(max_iter=1500, mu_init=1e-5, **extra_opts)
     guess = n_link_initial_guess(prob, q_start)
 
     t0 = time.time()
@@ -80,6 +89,8 @@ def main():
             'iterations': info2['iterations'],
             'inf_pr': float(info2['inf_pr']),
             'objective': float(info2['obj_val']),
+            'rest_total': int(info2.get('rest_iterations', 0)),
+            'small_program': bool(args.small_program),
         },
     }
     if args.note:

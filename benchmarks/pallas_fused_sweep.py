@@ -36,12 +36,25 @@ def bench(fn, args, iters=20):
 
 
 def main():
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--d', type=int, default=5,
+                        help='node block dimension (d >= 50 probes the '
+                             'large-block regime of the round-4 verdict '
+                             'ask #7, e.g. an nlink-25-class model)')
+    parser.add_argument('--b', type=int, default=4)
+    parser.add_argument('--N', type=int, default=501)
+    parser.add_argument('--batches', type=int, nargs='+',
+                        default=[16, 32, 64, 128])
+    args_cli = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
     import opty_tpu  # noqa: F401
     from opty_tpu.ops import tridiag
 
-    d, b, N = 5, 4, 501
+    d, b, N = args_cli.d, args_cli.b, args_cli.N
+    batches = tuple(args_cli.batches)
     rng = np.random.default_rng(0)
 
     def system(B):
@@ -62,7 +75,7 @@ def main():
     vmapped = jax.jit(jax.vmap(factor_solve))
 
     results = []
-    for B in (16, 32, 64, 128):
+    for B in batches:
         args = system(B)
         for fused in (False, True):
             if fused:
@@ -81,7 +94,7 @@ def main():
             results.append(rec)
             print(json.dumps(rec), flush=True)
     # summary: per-batch speedup fused vs jnp
-    for B in (16, 32, 64, 128):
+    for B in batches:
         off = next(r for r in results if r['batch'] == B and not r['fused'])
         on = next(r for r in results if r['batch'] == B and r['fused'])
         print(json.dumps({'metric': 'fused_speedup', 'batch': B,

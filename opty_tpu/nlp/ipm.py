@@ -296,6 +296,24 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         # Entered when the line search fails or the stall/dual-blowup
         # triggers fire; runs its own inner solver to a filter-
         # acceptable near-feasible point within this outer iteration.
+        # Progressive visit deepening: the first visit uses Ipopt's
+        # kappa_resto (rest_reduction, 0.9), but a visit entered soon
+        # after the previous one exited means the regular phase
+        # rejected the restored point's neighborhood — halve the
+        # reduction goal each such re-entry (floor 0.05) so ping-pong
+        # sequences dig progressively closer to feasibility.  Measured
+        # (round-5 sweep): a FIXED deep goal of 0.5 solves
+        # light_diffraction and quarter_car into better-than-reference
+        # basins but wedges car_in_garage, while a fixed 0.9 does the
+        # reverse; the adaptive schedule serves both.
+        rapid = (st.it - st.last_rest_it) < 10
+        kappa_eff = jnp.where(
+            enter_rest & rapid,
+            jnp.maximum(0.05, st.rest_depth * 0.5),
+            jnp.asarray(opt.rest_reduction, dtype))
+        rest_depth = jnp.where(enter_rest, kappa_eff, st.rest_depth)
+        last_rest_it = jnp.where(enter_rest, st.it, st.last_rest_it)
+
         def rest_branch(_):
             # restoration starts from the CURRENT iterate (x, s) with
             # its carried constraint value — the point whose search
@@ -303,7 +321,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             # the carried c means visit entry costs no evaluations
             ro = steps.restoration_solve(
                 spec, fns, x, s, c, mu, enter_rest,
-                f_theta_n, f_phi_n, f_count_n, theta_min)
+                f_theta_n, f_phi_n, f_count_n, theta_min,
+                kappa=kappa_eff)
             # exit state: reset equality multipliers, recenter bound
             # duals on the (possibly kicked) barrier, fresh filter
             # with a cap on re-admitted infeasibility.  The kick is
@@ -465,7 +484,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
             wL=sel(wL_n, wL), wU=sel(wU_n, wU),
             mu=mu, delta_w=delta_w, delta_c=delta_c,
             f_theta=f_theta_n, f_phi=f_phi_n, f_count=f_count_n,
-            rest_total=rest_total, theta_prev=theta_now,
+            rest_total=rest_total, rest_depth=rest_depth,
+            last_rest_it=last_rest_it, theta_prev=theta_now,
             stall_count=stall_count,
             theta_min=theta_min, theta_max=theta_max,
             # adaptive-mode globalization: a lane whose line search
@@ -488,6 +508,8 @@ def solve_ipm(fns: IPMFunctions, x0, xl, xu, cl, cu,
         delta_c=jnp.asarray(0.0, dtype),
         f_theta=ft_i, f_phi=fp_i, f_count=fc_i,
         rest_total=jnp.asarray(0, jnp.int32),
+        rest_depth=jnp.asarray(opt.rest_reduction, dtype),
+        last_rest_it=jnp.asarray(-1000, jnp.int32),
         theta_prev=jnp.asarray(jnp.inf, dtype),
         stall_count=jnp.asarray(0, jnp.int32),
         it=jnp.asarray(0, jnp.int32),

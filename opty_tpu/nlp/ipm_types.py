@@ -210,6 +210,9 @@ class IPMState(NamedTuple):
     f_phi: jnp.ndarray        # filter entries (phi)
     f_count: jnp.ndarray
     rest_total: jnp.ndarray   # cumulative restoration inner iterations
+    rest_depth: jnp.ndarray   # current visit reduction goal (kappa_resto,
+                              # halved on rapid re-entry — see ipm.py)
+    last_rest_it: jnp.ndarray  # outer iteration of the last visit
     theta_prev: jnp.ndarray   # previous-iteration theta (stall detection)
     stall_count: jnp.ndarray
     theta_min: jnp.ndarray    # init-point filter thresholds (constant;

@@ -799,7 +799,7 @@ class RestorationOut(NamedTuple):
 
 def restoration_solve(spec: Spec, fns, x0, s0, c0, mu, live,
                       f_theta, f_phi, f_count, theta_min,
-                      max_inner=None) -> RestorationOut:
+                      max_inner=None, kappa=None) -> RestorationOut:
     """Feasibility restoration as its OWN inner solver — the full
     Waechter-Biegler A-9 restoration phase (Ipopt delegates here when
     the regular line search fails; the reference inherits that through
@@ -855,6 +855,8 @@ def restoration_solve(spec: Spec, fns, x0, s0, c0, mu, live,
     rho_R = 1000.0
     if max_inner is None:
         max_inner = opt.max_rest_visit
+    if kappa is None:
+        kappa = jnp.asarray(opt.rest_reduction, dtype)
 
     prepare_gn = fns.kkt_prepare_gn
     if prepare_gn is None:
@@ -919,7 +921,7 @@ def restoration_solve(spec: Spec, fns, x0, s0, c0, mu, live,
         # goal on the first trip
         theta_goal = jnp.where(
             theta_goal < 0.0,
-            jnp.maximum(opt.rest_reduction * theta_now, theta_min),
+            jnp.maximum(kappa * theta_now, theta_min),
             theta_goal)
 
         # -- distances and elastic quantities at the current point --
