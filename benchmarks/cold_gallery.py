@@ -278,8 +278,10 @@ SPECIAL_RUNNERS = {
 
 PORTS = {
     # name: (module, build kwargs, guess fn, max_iter)
+    # light_diffraction descends into a better-than-reference basin
+    # but needs > 2000 iterations to polish (round-5 measurement)
     'light_diffraction': ('light_diffraction', {}, guess_light_diffraction,
-                          1000),
+                          3000),
     'crane_load': ('crane_load', {}, guess_crane_load, 1000),
     'double_pendulum_cart': ('double_pendulum_cart', {},
                              guess_double_pendulum_cart, 2000),

@@ -58,7 +58,8 @@ def main():
     # a generous iteration budget and report what was achieved
     extra_opts = {}
     if args.small_program:
-        extra_opts = dict(use_soc=False, max_rest_visit=0)
+        extra_opts = dict(use_soc=False, max_rest_visit=0,
+                          dw_decay='hold')
     prob.set_solver_options(max_iter=1500, mu_init=1e-5, **extra_opts)
     guess = n_link_initial_guess(prob, q_start)
 

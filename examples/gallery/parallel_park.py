@@ -8,25 +8,21 @@ translate 2 m sideways in 30 s, stationary at both ends, minimizing
 steering-torque + drive-force effort, with steering-angle and
 actuator bounds.
 
-KNOWN HARD (see COVERAGE.md): the reference formulation is doubly
-degenerate — the two final-node nonholonomic rows are linear
-combinations of the instance rows pinning every state at ``tf`` (the
-constraint Jacobian has exactly two zero singular values), and the
-effort objective leaves the reduced Hessian near zero, so cold starts
-drive the inertia-free regularization ladder hard.  Ipopt's pivoted
-LDL^T + restoration NLP absorb this; our elastic restoration does
-not yet.  Round-4 measurement: the solver reliably parks the car
-HALFWAY (y(tf) ~ 0.85-0.91 of the 2 m target with every other state
-satisfied, pr ~ 1.1 concentrated in the y(tf) instance row) across
-barrier strategies, restoration budgets and seeds — the nonholonomic
-structure resists direct sideways progress and the maneuver basin is
-not found from the documented straight-line guess.  ``main()``
-therefore reports progress instead of asserting convergence.
+SOLVED in round 5 (previously KNOWN_HARD): the reference formulation
+is doubly degenerate — the two final-node nonholonomic rows are
+linear combinations of the instance rows pinning every state at
+``tf`` (the constraint Jacobian has exactly two zero singular
+values), and the effort objective leaves the reduced Hessian near
+zero.  Rounds 2-4 reliably parked the car only HALFWAY (y(tf) ~
+0.85-0.91 of the 2 m target, pr ~ 1.1 in the y(tf) instance row).
+The round-5 solver — multiplier-step cap routing rank-deficient
+directions to the delta_c cure (nlp/steps.py dir_quality) plus the
+full inner restoration phase (steps.restoration_solve) — completes
+the maneuver from the documented straight-line guess: status 0 in
+~490 iterations, y(tf) = 2.0000.  ``main()`` asserts convergence.
 
 Run:  python examples/gallery/parallel_park.py
 """
-
-KNOWN_HARD = True
 
 import os
 import sys
@@ -140,8 +136,9 @@ def main():
     print('status={} iters={} obj={:.6f}'.format(
         info['status'], info['iterations'], info['obj_val']))
     xs = prob.parse_free(solution)[0]
-    print('y(tf) = {:.4f} (target 2.0); KNOWN_HARD — see module '
-          'docstring'.format(float(xs[1, -1])))
+    print('y(tf) = {:.4f} (target 2.0)'.format(float(xs[1, -1])))
+    assert info['status'] in (0, 1), info['status_msg']
+    assert abs(float(xs[1, -1]) - 2.0) < 1e-6
     return solution, info
 
 

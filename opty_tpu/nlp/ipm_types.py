@@ -69,6 +69,12 @@ class IPMOptions(NamedTuple):
     # the quarter-car cold trace showed accepted dy ~ 1e9 steps blowing
     # |y| to 1e9 and wedging the solve; see steps.dir_quality.
     dy_cap: float = 1e8
+    # delta_w first-retry schedule: 'always' (decay /3 per iteration,
+    # best for cold starts) or 'hold' (decay only after full steps,
+    # best for warm-started endgames) — see steps.dir_body for the
+    # measured trade-off matrix.
+    dw_decay: str = 'always'
+
     # restoration (a full inner solver since round 5; W-B A-9).
     # rest_reduction is Ipopt's kappa_resto: the visit may return once
     # theta <= kappa_resto * theta_entry AND the point is acceptable

@@ -372,6 +372,31 @@ def regularized_direction(spec: Spec, fns, x, y, prep,
         # flat, because the ladder bounced 0 -> 4.3 every iteration
         # and never probed the (much smaller) level actually needed.
         # The freeze branch still guards warm-start endgames.
+        # Default branch — a measured, problem-class trade-off with
+        # no single winner (round-5 A/B matrix):
+        #   'always' (default): decay /3 every iteration (W-B
+        #     kappa_w^-).  Un-traps cold solves whose dw pins at a
+        #     fixed point (light_diffraction held dw = 4.3 for 150+
+        #     flat iterations and wedged 23% above the reference
+        #     optimum; with decay it descends BELOW it), and the cold
+        #     gallery gets its best results across the board.
+        #   'hold': decay only after (near-)full accepted steps — the
+        #     warm-started gait-scale endgame converges in 245
+        #     iterations vs 547 with 'always' (each decayed retry
+        #     re-probes a dw level that was already right).
+        # Hybrids lose BOTH ways (decay-on-any-non-improving reads the
+        # gait chain's E oscillation as stall: status -1 at 1500;
+        # decay-on-8-consecutive flips cold basins: car_in_garage
+        # 82.5 -> 1873).  Warm benchmark configs set 'hold'
+        # (gait_scale.py --small-program).
+        if opt.dw_decay == 'hold':
+            dw_default = jnp.where(
+                good_step,
+                jnp.maximum(opt.delta_w_min, delta_w_prev * 0.33),
+                delta_w_prev)
+        else:
+            dw_default = jnp.maximum(opt.delta_w_min,
+                                     delta_w_prev * 0.33)
         first_retry = jnp.where(
             freeze & ~was_zero, delta_w_prev,
             jnp.where(
@@ -380,8 +405,7 @@ def regularized_direction(spec: Spec, fns, x, y, prep,
                 jnp.where(
                     was_zero,
                     jnp.asarray(opt.delta_w_init * 1e4, dtype),
-                    jnp.maximum(opt.delta_w_min,
-                                delta_w_prev * 0.33))))
+                    dw_default)))
         growth = jnp.where(was_zero | ~healthy_prev, 100.0, 8.0)
         dw_candidate = jnp.where(
             dw == 0.0, first_retry,
